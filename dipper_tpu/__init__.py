@@ -26,17 +26,8 @@ __version__ = "0.1.0"
 # 64-bit hash; sketch ordering must be bit-exact with the reference).
 # We enable it at import; all performance-critical arrays pick their
 # dtypes explicitly (f32/bf16/int32) so nothing silently runs in f64.
-import os as _os
-
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
-
-# Some environments (PJRT plugins registered from sitecustomize) set
-# jax_platforms in the *config*, which silently overrides the user's
-# JAX_PLATFORMS env var. Re-assert the env var so `JAX_PLATFORMS=cpu
-# dipper-tpu ...` behaves as documented.
-if _os.environ.get("JAX_PLATFORMS"):
-    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
 
 from dipper_tpu.utils.params import Param  # noqa: E402,F401

@@ -56,6 +56,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # Some environments (PJRT plugins registered from sitecustomize) set
+    # jax_platforms in the *config*, silently overriding the user's
+    # JAX_PLATFORMS env var. Re-assert it for CLI runs so
+    # `JAX_PLATFORMS=cpu dipper-tpu ...` behaves as documented.
+    # (Library users control jax.config themselves.)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     args = build_parser().parse_args(argv)
     if args.add and not args.input_tree:
         print("ERROR: --input-tree/-t is required with --add", file=sys.stderr)

@@ -1,0 +1,164 @@
+"""Mash sketch distances on the VPU.
+
+Behavioral spec (src/mash.cu:426-455): for sketches A (an already
+placed taxon) and B (the new row's taxon), walk the two sorted
+1000-element hash lists, counting `inter` (B elements equal to an A
+element — ALL equal B copies match, an asymmetric multiset rule) and
+`uni` (A elements + unmatched B elements), stopping when uni reaches
+sketchSize; then
+
+    j = max(inter, 1) / sketchSize
+    d = min(1, |ln(2j / (1+j))| / k)
+
+TPU design: the merge-walk is a serial two-pointer loop — hostile to
+vector hardware. We restate it exactly as data-parallel primitives:
+
+1. GLOBAL RANKS: u64 hashes are rank-compressed once over the whole
+   sketch bank (order- and equality-preserving), so all comparisons
+   are int32 (TPUs have no native u64 compare).
+2. BITONIC MERGE: concat(A_keys, reverse(B_keys)) is bitonic, so 11
+   compare-exchange stages of reshaped min/max produce the merged
+   order of 2048 keys — pure elementwise VPU work, no gathers. Keys
+   are rank*2 + tag (tag 1 for A, 0 for B) which reproduces the
+   walk's tie order: equal-valued B elements come first.
+3. The walk's counters become scans over the merged sequence:
+   a B element is `matched` iff the next A-value at-or-after it (a
+   reverse min-scan) equals its value; uni increments for everything
+   except matched B elements; `inter` sums matched-B events whose
+   exclusive uni-prefix is < sketchSize.
+
+Equivalence to the serial walk is proven by tests/test_mash.py against
+the transliterated oracle over adversarial multisets (duplicates,
+sentinel-heavy short sequences).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PAD_KEY = np.int32(2**31 - 1)
+
+
+@jax.jit
+def rank_compress(sketches_u64):
+    """u64 [N, S] (rows sorted) -> int32 ranks [N, S] preserving order
+    and equality globally. max rank < N*S (must stay < 2^30 so that
+    rank*2+1 fits int32)."""
+    N, S = sketches_u64.shape
+    flat = sketches_u64.reshape(-1)
+    order = jnp.argsort(flat)
+    sv = flat[order]
+    newseg = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sv[1:] != sv[:-1]]
+    )
+    iota = jnp.arange(N * S, dtype=jnp.int32)
+    rank_sorted = jax.lax.associative_scan(jnp.maximum, jnp.where(newseg, iota, 0))
+    ranks = jnp.zeros((N * S,), jnp.int32).at[order].set(rank_sorted)
+    return ranks.reshape(N, S)
+
+
+def _bitonic_merge(keys):
+    """keys [..., 2M] where [..., :M] ascending and [..., M:] descending
+    -> fully sorted along the last axis."""
+    n = keys.shape[-1]
+    assert (n & (n - 1)) == 0
+    d = n // 2
+    while d >= 1:
+        shp = keys.shape[:-1] + (n // (2 * d), 2, d)
+        r = keys.reshape(shp)
+        lo = jnp.minimum(r[..., 0, :], r[..., 1, :])
+        hi = jnp.maximum(r[..., 0, :], r[..., 1, :])
+        keys = jnp.stack([lo, hi], axis=-2).reshape(keys.shape)
+        d //= 2
+    return keys
+
+
+def _merged_inter_count(a_keys, b_keys, sketch_size: int):
+    """a_keys [..., M] ascending (tag already applied: 2r+1),
+    b_keys [..., M] ascending (2r). Returns inter counts [...]."""
+    merged = _bitonic_merge(
+        jnp.concatenate([a_keys, b_keys[..., ::-1]], axis=-1)
+    )
+    tag = merged & 1
+    val = merged >> 1
+    is_a = tag == 1
+    BIG = jnp.int32(2**30)
+    a_vals = jnp.where(is_a, val, BIG)
+    # axis=-1 trips a negative-dim bug in reverse-mode associative_scan
+    last = a_vals.ndim - 1
+    next_a = jax.lax.associative_scan(jnp.minimum, a_vals, reverse=True, axis=last)
+    matched_b = (~is_a) & (next_a == val)
+    uni_inc = jnp.where(matched_b, 0, 1)
+    cum = jnp.cumsum(uni_inc, axis=-1)
+    cum_before = cum - uni_inc
+    inter = jnp.sum(
+        (matched_b & (cum_before < sketch_size)).astype(jnp.int32), axis=-1
+    )
+    return inter
+
+
+def _inter_to_dist(inter, k: int, sketch_size: int, dtype):
+    j = jnp.maximum(inter.astype(dtype), 1.0) / sketch_size
+    return jnp.minimum(1.0, jnp.abs(jnp.log(2.0 * j / (1.0 + j)) / k))
+
+
+def _pad_pow2(S: int) -> int:
+    return int(2 ** np.ceil(np.log2(max(S, 2))))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "sketch_size", "dtype_name"))
+def mash_row_from_ranks(ranks_pad, row_id, *, k: int, sketch_size: int,
+                        dtype_name: str):
+    """ranks_pad int32 [N, M] (M = pow2 >= sketch_size, rows ascending,
+    pad slots = (PAD_KEY-?)/...); row_id scalar. Returns [N] distances of
+    taxon row_id vs every taxon (junk beyond j != row_id semantics; the
+    caller masks j >= row_id). A = old taxon j, B = the new row."""
+    dtype = jnp.dtype(dtype_name)
+    a_keys = ranks_pad * 2 + 1          # [N, M]
+    b = jax.lax.dynamic_index_in_dim(ranks_pad, row_id, axis=0, keepdims=True)
+    b_keys = b * 2                      # [1, M] broadcasts
+    inter = _merged_inter_count(a_keys, jnp.broadcast_to(b_keys, a_keys.shape),
+                                sketch_size)
+    return _inter_to_dist(inter, k, sketch_size, dtype)
+
+
+def pad_ranks(ranks: jnp.ndarray) -> jnp.ndarray:
+    """Pad rank rows to the next power of two with PAD_KEY//2 so that
+    tagged keys (2r, 2r+1) stay below int32 max and pads sort last."""
+    N, S = ranks.shape
+    M = _pad_pow2(S)
+    if M == S:
+        return ranks
+    pad = jnp.full((N, M - S), (_PAD_KEY - 1) // 2, jnp.int32)
+    return jnp.concatenate([ranks, pad], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "sketch_size", "dtype_name",
+                                             "block"))
+def _mash_matrix_jit(ranks_pad, *, k, sketch_size, dtype_name, block):
+    dtype = jnp.dtype(dtype_name)
+    N = ranks_pad.shape[0]
+
+    def row(i, D):
+        d = mash_row_from_ranks(ranks_pad, i, k=k, sketch_size=sketch_size,
+                                dtype_name=dtype_name)
+        col = jnp.arange(N)
+        d = jnp.where(col < i, d, 0.0)
+        return D.at[i].set(d)
+
+    D = jax.lax.fori_loop(0, N, row, jnp.zeros((N, N), dtype))
+    return D + D.T
+
+
+def mash_distance_matrix_device(sketches_u64: np.ndarray, k: int,
+                                sketch_size: int, dtype="float32") -> np.ndarray:
+    """Full symmetric [N, N] mash distance matrix."""
+    sk = jnp.asarray(sketches_u64)
+    ranks = pad_ranks(rank_compress(sk))
+    D = _mash_matrix_jit(ranks, k=k, sketch_size=sketch_size,
+                         dtype_name=str(jnp.dtype(dtype)), block=0)
+    return np.asarray(jax.device_get(D), dtype=np.float64)

@@ -9,7 +9,7 @@ import numpy as np
 _BASES = b"ACGT"
 
 
-def random_tree_edges(n, rng):
+def random_tree_edges(n, rng, blen_scale=1.0):
     """Random binary tree over n leaves; returns (parent, blen, order)"""
     parent = {}
     blen = {}
@@ -20,16 +20,16 @@ def random_tree_edges(n, rng):
         b = pool.pop(int(rng.integers(len(pool))))
         parent[a] = nxt
         parent[b] = nxt
-        blen[a] = float(rng.uniform(0.02, 0.3))
-        blen[b] = float(rng.uniform(0.02, 0.3))
+        blen[a] = float(rng.uniform(0.02, 0.3)) * blen_scale
+        blen[b] = float(rng.uniform(0.02, 0.3)) * blen_scale
         pool.append(nxt)
         nxt += 1
     return parent, blen, pool[0]
 
 
-def simulate_alignment(n, L, rng, gap_frac=0.05):
+def simulate_alignment(n, L, rng, gap_frac=0.05, blen_scale=1.0):
     """Returns (names, list of byte strings of length L with gaps)."""
-    parent, blen, root = random_tree_edges(n, rng)
+    parent, blen, root = random_tree_edges(n, rng, blen_scale)
     children = {}
     for c, p in parent.items():
         children.setdefault(p, []).append(c)
@@ -57,10 +57,13 @@ def simulate_alignment(n, L, rng, gap_frac=0.05):
     return names, out
 
 
-def simulate_unaligned(n, L, rng, indel_frac=0.02):
+def simulate_unaligned(n, L, rng, indel_frac=0.02, blen_scale=0.2):
     """Unaligned sequences: evolve then apply small indels so lengths
-    differ (for the mash pipeline)."""
-    names, seqs = simulate_alignment(n, L, rng, gap_frac=0.0)
+    differ (for the mash pipeline). blen_scale defaults low: mash
+    distances saturate quickly (k-mer identity decays as e^{-k*d}) and
+    saturated pairs all collapse to the same distance value."""
+    names, seqs = simulate_alignment(n, L, rng, gap_frac=0.0,
+                                     blen_scale=blen_scale)
     out = []
     for s in seqs:
         arr = np.frombuffer(s, dtype=np.uint8)
