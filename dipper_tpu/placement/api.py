@@ -1,0 +1,146 @@
+"""Driver-facing placement entry points (k-closest and exact)."""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dipper_tpu.utils.params import Param
+from dipper_tpu.placement import kclosest
+
+
+def _dtype_name(params: Param) -> str:
+    return str(jnp.dtype(params.dtype))
+
+
+def _mash_frontend(seqs, params: Param):
+    from dipper_tpu.sketch.minhash import sketch_sequences
+    from dipper_tpu.distance.mash import rank_compress, pad_ranks
+
+    sk = sketch_sequences(seqs, params.kmer_size, params.sketch_size)
+    ranks = pad_ranks(rank_compress(jnp.asarray(sk)))
+    return (ranks,), (params.kmer_size, params.sketch_size)
+
+
+def _msa_frontend(seqs, params: Param):
+    from dipper_tpu.distance.msa import build_channels
+    from dipper_tpu.io.encode import batch_codes, encode_4bit_codes
+
+    codes, _ = batch_codes(seqs, encode_4bit_codes, pad_value=4)
+    phi = build_channels(codes)
+    nongap = phi[:, 4, :].sum(axis=1)
+    return (
+        (jnp.asarray(phi), jnp.asarray(nongap, jnp.dtype(params.dtype))),
+        (params.distance_type,),
+    )
+
+
+def build_placement_tree_from_matrix(D, names, params: Param, exact=False) -> str:
+    n = len(names)
+    if exact:
+        from dipper_tpu.placement.exact import run_exact_placement
+
+        e, belong, length = run_exact_placement(
+            (jnp.asarray(D, jnp.dtype(params.dtype)),),
+            num_sequences=n, frontend="matrix", dtype_name=_dtype_name(params),
+        )
+    else:
+        e, belong, length = kclosest.run_placement(
+            (jnp.asarray(D, jnp.dtype(params.dtype)),),
+            num_sequences=n, frontend="matrix", dtype_name=_dtype_name(params),
+        )
+    return kclosest.edges_to_newick(*jax.device_get((e, belong, length)),
+                                    names, n)
+
+
+def build_placement_tree_from_seqs(seqs, names, params: Param, exact=False) -> str:
+    n = len(seqs)
+    if params.in_format == "m":
+        frontend_args, frontend_static = _msa_frontend(seqs, params)
+        frontend = "msa"
+    else:
+        frontend_args, frontend_static = _mash_frontend(seqs, params)
+        frontend = "mash"
+    if exact:
+        from dipper_tpu.placement.exact import run_exact_placement
+
+        e, belong, length = run_exact_placement(
+            frontend_args, num_sequences=n, frontend=frontend,
+            frontend_static=frontend_static, dtype_name=_dtype_name(params),
+        )
+    else:
+        e, belong, length = kclosest.run_placement(
+            frontend_args, num_sequences=n, frontend=frontend,
+            frontend_static=frontend_static, dtype_name=_dtype_name(params),
+        )
+    return kclosest.edges_to_newick(*jax.device_get((e, belong, length)),
+                                    names, n)
+
+
+def backbone_tree_to_arrays(tree, num_sequences: int, dtype):
+    """Host Tree -> device edge arrays via postorder DFS emitting
+    child->parent then parent->child edge pairs
+    (initializeDeviceArrays, src/placement_close_k.cu:159-184)."""
+    E = 4 * num_sequences
+    e = np.full(E, -1, np.int32)
+    belong = np.full(E, -1, np.int32)
+    length = np.zeros(E, np.float64)
+    rev = np.full(E, -1, np.int32)
+    cursor = 0
+
+    stack = [(tree.root, False)]
+    order = []
+    while stack:
+        node, done = stack.pop()
+        if done:
+            order.append(node)
+            continue
+        stack.append((node, True))
+        # push reversed so children are visited in order (matches the
+        # reference's recursive postorder; edge-id order is load-bearing
+        # for argmin tie-breaks)
+        for ch in reversed(node.children):
+            stack.append((ch, False))
+    for node in order:
+        if node.parent is None:
+            continue
+        x, y = node.idx, node.parent.idx
+        e[cursor] = y
+        belong[cursor] = x
+        length[cursor] = node.bl
+        rev[cursor] = cursor + 1
+        e[cursor + 1] = x
+        belong[cursor + 1] = y
+        length[cursor + 1] = node.bl
+        rev[cursor + 1] = cursor
+        cursor += 2
+    return e, belong, length, rev
+
+
+def add_queries_to_backbone(tree, seqs, names, params: Param,
+                            backbone_size: int) -> str:
+    n = len(seqs)
+    if params.in_format == "m":
+        frontend_args, frontend_static = _msa_frontend(seqs, params)
+        frontend = "msa"
+    elif params.in_format == "r":
+        frontend_args, frontend_static = _mash_frontend(seqs, params)
+        frontend = "mash"
+    else:
+        print("Adding new sequences only supported with input aligned "
+              "and unaligned sequences", file=sys.stderr)
+        raise SystemExit(1)
+    dtype = jnp.dtype(params.dtype)
+    e0, belong0, length0, rev0 = backbone_tree_to_arrays(tree, n, dtype)
+    e, belong, length = kclosest.run_add_queries(
+        frontend_args,
+        jnp.asarray(e0), jnp.asarray(belong0),
+        jnp.asarray(length0, dtype), jnp.asarray(rev0),
+        num_sequences=n, backbone_size=backbone_size, frontend=frontend,
+        frontend_static=frontend_static, dtype_name=_dtype_name(params),
+    )
+    return kclosest.edges_to_newick(*jax.device_get((e, belong, length)),
+                                    names, n)

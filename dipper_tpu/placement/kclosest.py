@@ -1,0 +1,393 @@
+"""K-closest incremental placement, fully on-device.
+
+Behavioral spec (src/placement_close_k.cu):
+- tree stored as directed edge arrays (4 new directed edges per
+  insertion; node ids: leaf i -> i, middle node of insertion i ->
+  N+i-1; allocation contract 2N nodes / 4N-4 edges),
+- every directed edge (a->b) keeps the K=5 closest leaves on the
+  a-side with their tree distance from a, ascending, sentinel
+  (id=-1, dis=2.0) (:56-84),
+- per new taxon: distance row to placed taxa; score one direction per
+  undirected edge (belong > e, :326); dis1/dis2 = max over witness
+  entries of d(new,leaf) - closest_dis (:334-344); the clamp sequence
+  (:346-355) yields (fracLen, additional_dis); minimize
+  (additional_dis, eid) — thrust::min_element first-minimum == lowest
+  eid (:807);
+- splice (:446-528): x-side edge keeps id (becomes x->middle), y-side
+  becomes y->middle; 4 new edges middle->x / middle->y /
+  outside->middle / middle->outside with closest lists copied+shifted
+  from the severed halves, and middle->outside = stable insert-merge
+  of (middle->y then middle->x) lists;
+- closest lists then updated by a BFS from the new leaf that
+  insert-sorts (leaf, d) into each visited edge's list and prunes when
+  the leaf doesn't beat an edge's 5th entry (:86-124).
+
+TPU design: the reference runs the BFS and splice as serial <<<1,1>>>
+kernels and scores edges with one thread each. Here one jit contains
+the whole build: a `fori_loop` over insertions carrying fixed-shape
+edge arrays; scoring is a masked vector pass over all 4N edge slots
+(dis2 found via a maintained `rev` permutation instead of walking
+adjacency lists); the splice is a handful of dynamic-index updates; the
+BFS becomes a frontier `while_loop` — each level relaxes *all* edges
+whose source is in the frontier at once (edge-parallel, no adjacency
+structure needed), with the insert position computed arithmetically
+(count of entries <= d). Tree-equivalence with the serial BFS holds
+because each node is reached along its unique tree path, so insertions
+into distinct edges commute.
+
+The distance row is computed inside the loop by a pluggable frontend
+(precomputed matrix row / mash bitonic-merge row / MSA matmul row).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+K = 5
+SENT_DIS = 2.0
+
+
+class TreeState(NamedTuple):
+    e: jnp.ndarray        # [E] int32 dst node (-1 unused)
+    belong: jnp.ndarray   # [E] int32 src node (-1 unused)
+    length: jnp.ndarray   # [E] f    branch length
+    rev: jnp.ndarray      # [E] int32 reverse edge id
+    cdis: jnp.ndarray     # [E, K] f closest distances (ascending)
+    cid: jnp.ndarray      # [E, K] int32 closest leaf ids (-1 empty)
+    idx: jnp.ndarray      # scalar int32: next free edge slot
+
+
+def init_state(num_sequences: int, dtype) -> TreeState:
+    E = 4 * num_sequences
+    return TreeState(
+        e=jnp.full((E,), -1, jnp.int32),
+        belong=jnp.full((E,), -1, jnp.int32),
+        length=jnp.zeros((E,), dtype),
+        rev=jnp.full((E,), -1, jnp.int32),
+        cdis=jnp.full((E, K), SENT_DIS, dtype),
+        cid=jnp.full((E, K), -1, jnp.int32),
+        idx=jnp.int32(0),
+    )
+
+
+def _add_edge(st: TreeState, slot, src, dst, ln, rv) -> TreeState:
+    return st._replace(
+        e=st.e.at[slot].set(dst),
+        belong=st.belong.at[slot].set(src),
+        length=st.length.at[slot].set(ln),
+        rev=st.rev.at[slot].set(rv),
+    )
+
+
+def build_initial_tree(st: TreeState, d01, num_sequences: int) -> TreeState:
+    """Edges 0..3 joining taxa 0,1 through node N (buildInitialTree,
+    src/placement_close_k.cu:530-554 + rev wiring as in placement.cu)."""
+    N = num_sequences
+    h = d01 / 2
+    st = _add_edge(st, 0, 0, N, h, 2)
+    st = _add_edge(st, 1, 1, N, h, 3)
+    st = _add_edge(st, 2, N, 0, h, 0)
+    st = _add_edge(st, 3, N, 1, h, 1)
+    return st._replace(idx=jnp.int32(4))
+
+
+def update_closest_bfs(st: TreeState, leaf, num_nodes: int) -> TreeState:
+    """Frontier-parallel equivalent of updateClosestNodes
+    (src/placement_close_k.cu:86-124). `leaf` is the BFS source."""
+    M = num_nodes  # = 2N
+    dtype = st.length.dtype
+    leaf = jnp.asarray(leaf, jnp.int32)
+    frontier = jnp.zeros((M,), jnp.bool_).at[leaf].set(True)
+    from_node = jnp.full((M,), -1, jnp.int32)
+    distx = jnp.zeros((M,), dtype)
+
+    def cond(c):
+        st, frontier, from_node, distx = c
+        return jnp.any(frontier)
+
+    def body(c):
+        st, frontier, from_node, distx = c
+        src = st.belong
+        used = src >= 0
+        srcc = jnp.where(used, src, 0)
+        act = used & frontier[srcc] & (st.e != from_node[srcc])
+        d = distx[srcc]
+        pos = jnp.sum((st.cdis <= d[:, None]).astype(jnp.int32), axis=1)
+        ok = act & (pos < K)
+        # arithmetic insert of (d, leaf) at position pos
+        slot = jax.lax.broadcasted_iota(jnp.int32, (st.cdis.shape[0], K), 1)
+        before = slot < pos[:, None]
+        at = slot == pos[:, None]
+        shifted_cd = jnp.concatenate(
+            [jnp.full((st.cdis.shape[0], 1), SENT_DIS, dtype), st.cdis[:, :-1]],
+            axis=1,
+        )
+        shifted_id = jnp.concatenate(
+            [jnp.full((st.cid.shape[0], 1), -1, jnp.int32), st.cid[:, :-1]], axis=1
+        )
+        new_cd = jnp.where(before, st.cdis, jnp.where(at, d[:, None], shifted_cd))
+        new_id = jnp.where(before, st.cid, jnp.where(at, leaf, shifted_id))
+        cdis = jnp.where(ok[:, None], new_cd, st.cdis)
+        cid = jnp.where(ok[:, None], new_id, st.cid)
+        # propagate to dst of successful edges (unique path => no dups)
+        dst = jnp.where(ok, st.e, M)  # M = drop slot
+        nfront = jnp.zeros((M + 1,), jnp.bool_).at[dst].set(True)[:M]
+        from_node = jnp.concatenate([from_node, jnp.zeros((1,), jnp.int32)]) \
+            .at[dst].set(src)[:M]
+        distx = jnp.concatenate([distx, jnp.zeros((1,), dtype)]) \
+            .at[dst].set(d + st.length)[:M]
+        return st._replace(cdis=cdis, cid=cid), nfront, from_node, distx
+
+    st, _, _, _ = jax.lax.while_loop(
+        cond, body, (st, frontier, from_node, distx)
+    )
+    return st
+
+
+def score_edges(st: TreeState, dist_row, edge_mask=None):
+    """Vectorized calculateBranchLength (src/placement_close_k.cu:309-358).
+    Returns (eid, fracLen, addLen); ties -> lowest eid. `edge_mask`
+    optionally restricts scoring (D&C cluster phase)."""
+    dtype = st.length.dtype
+    E = st.e.shape[0]
+    valid = st.belong > st.e
+    if edge_mask is not None:
+        valid = valid & edge_mask
+    ids = jnp.maximum(st.cid, 0)
+    dv = dist_row[ids] - st.cdis                       # [E, K]
+    dv = jnp.where(st.cid != -1, dv, -jnp.inf)
+    side = jnp.maximum(jnp.max(dv, axis=1), 0.0)       # [E]
+    dis1 = side
+    dis2 = side[st.rev]
+    L = st.length
+    addi = (dis1 + dis2 - L) * 0.5
+    addi = jnp.maximum(addi, 0.0)
+    dis1 = jnp.maximum(dis1 - addi, 0.0)
+    dis2 = jnp.maximum(dis2 - addi, 0.0)
+    addi = addi + jnp.maximum(dis1 - L, 0.0) + jnp.maximum(dis2 - L, 0.0)
+    dis1 = jnp.minimum(dis1, L)
+    dis2 = jnp.minimum(dis2, L)
+    rest = L - dis1 - dis2
+    dis1 = dis1 + rest * 0.5
+    # invalid slots carry the sentinel tuple (eid=slot, frac=0, addi=2):
+    # if no real candidate beats 2.0, argmin lands on slot 0 and the
+    # splice targets edge 0 with frac=0 add=2, like thrust::min_element
+    # over the sentinel-filled minPos buffer.
+    score = jnp.where(valid, addi, jnp.asarray(SENT_DIS, dtype))
+    frac = jnp.where(valid, dis1, 0.0)
+    eid = jnp.argmin(score).astype(jnp.int32)  # first-minimum == lowest eid
+    return eid, frac[eid], score[eid]
+
+
+def _insert_merge_lists(cd1, id1, cd2, id2, dtype):
+    """Stable merge of two ascending K-lists (first list wins ties),
+    reproducing the sequential insert-sort of updateTreeStructure
+    (src/placement_close_k.cu:500-526). Sentinel entries sort last."""
+    vals = jnp.concatenate([cd1, cd2])
+    ids = jnp.concatenate([id1, id2])
+    order = jnp.argsort(vals, stable=True)
+    return vals[order][:K], ids[order][:K]
+
+
+def splice(st: TreeState, eid, frac, add, place_id, num_sequences: int) -> TreeState:
+    """updateTreeStructure (src/placement_close_k.cu:446-528)."""
+    dtype = st.length.dtype
+    N = num_sequences
+    place_id = jnp.asarray(place_id, jnp.int32)  # fori index is int64 under x64
+    middle = place_id + N - 1
+    outside = place_id
+    x = st.belong[eid]
+    y = st.e[eid]
+    orig = st.length[eid]
+    xe = eid
+    ye = st.rev[eid]
+    i0 = st.idx
+    i1 = i0 + 1
+    i2 = i0 + 2
+    i3 = i0 + 3
+
+    cd_xe = st.cdis[xe]
+    id_xe = st.cid[xe]
+    cd_ye = st.cdis[ye]
+    id_ye = st.cid[ye]
+
+    e = st.e.at[xe].set(middle).at[ye].set(middle)
+    length = st.length.at[xe].set(frac).at[ye].set(orig - frac)
+    rev = st.rev.at[xe].set(i0).at[ye].set(i1)
+
+    e = e.at[i0].set(x).at[i1].set(y).at[i2].set(middle).at[i3].set(outside)
+    belong = st.belong.at[i0].set(middle).at[i1].set(middle) \
+        .at[i2].set(outside).at[i3].set(middle)
+    length = length.at[i0].set(frac).at[i1].set(orig - frac) \
+        .at[i2].set(add).at[i3].set(add)
+    rev = rev.at[i0].set(xe).at[i1].set(ye).at[i2].set(i3).at[i3].set(i2)
+
+    # closest lists of the four new edges
+    sent = jnp.asarray(SENT_DIS, dtype)
+    cd_i0 = jnp.where(id_ye != -1, cd_ye + (orig - frac), sent)
+    id_i0 = id_ye
+    cd_i1 = jnp.where(id_xe != -1, cd_xe + frac, sent)
+    id_i1 = id_xe
+    cd_i3, id_i3 = _insert_merge_lists(cd_i1, id_i1, cd_i0, id_i0, dtype)
+
+    cdis = st.cdis.at[i0].set(cd_i0).at[i1].set(cd_i1) \
+        .at[i2].set(jnp.full((K,), SENT_DIS, dtype)).at[i3].set(cd_i3)
+    cid = st.cid.at[i0].set(id_i0).at[i1].set(id_i1) \
+        .at[i2].set(jnp.full((K,), -1, jnp.int32)).at[i3].set(id_i3)
+
+    return TreeState(e, belong, length, rev, cdis, cid, st.idx + 4)
+
+
+# ---------------------------------------------------------------------------
+# Distance-row frontends
+# ---------------------------------------------------------------------------
+
+
+def make_matrix_row_fn(D):
+    def row(i):
+        return jax.lax.dynamic_index_in_dim(D, i, axis=0, keepdims=False)
+    return row
+
+
+def make_mash_row_fn(ranks_pad, k: int, sketch_size: int, dtype_name: str):
+    from dipper_tpu.distance.mash import mash_row_from_ranks
+
+    def row(i):
+        return mash_row_from_ranks(
+            ranks_pad, i, k=k, sketch_size=sketch_size, dtype_name=dtype_name
+        )
+    return row
+
+
+def make_msa_row_fn(phi, nongap, distance_type: int, dtype_name: str):
+    """phi int8 [N,5,L], nongap [N]. Row i vs all j via one MXU matmul."""
+    from dipper_tpu.distance.msa import _block_distance
+
+    N = phi.shape[0]
+    L = phi.shape[2]
+
+    def row(i):
+        phi_i = jax.lax.dynamic_slice_in_dim(phi, i, 1, axis=0)
+        ng_i = jax.lax.dynamic_slice_in_dim(nongap, i, 1, axis=0)
+        blk = _block_distance(
+            phi_i, phi, ng_i, nongap,
+            distance_type=distance_type, dtype_name=dtype_name, seq_len=L,
+        )
+        return blk[0]
+    return row
+
+
+# ---------------------------------------------------------------------------
+# Full builds
+# ---------------------------------------------------------------------------
+
+
+def insertion_step(st: TreeState, i, row_fn, num_sequences: int):
+    row = row_fn(i)
+    eid, frac, add = score_edges(st, row)
+    st = splice(st, eid, frac, add, i, num_sequences)
+    st = update_closest_bfs(st, i, 2 * num_sequences)
+    return st
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_sequences", "frontend", "frontend_static", "dtype_name"),
+)
+def run_placement(frontend_args, *, num_sequences: int, frontend: str,
+                  frontend_static=(), dtype_name: str):
+    """Builds the whole placement tree on device. Returns final edge
+    arrays (e, belong, length)."""
+    N = num_sequences
+    dtype = jnp.dtype(dtype_name)
+    row_fn = _make_row_fn(frontend_args, frontend, frontend_static, dtype_name)
+    st = init_state(N, dtype)
+    row1 = row_fn(jnp.int32(1))
+    st = build_initial_tree(st, row1[0].astype(dtype), N)
+    st = update_closest_bfs(st, jnp.int32(0), 2 * N)
+    st = update_closest_bfs(st, jnp.int32(1), 2 * N)
+
+    def body(i, st):
+        return insertion_step(st, i, row_fn, N)
+
+    st = jax.lax.fori_loop(2, N, body, st)
+    return st.e, st.belong, st.length
+
+
+def _make_row_fn(frontend_args, frontend: str, frontend_static, dtype_name: str):
+    if frontend == "matrix":
+        (D,) = frontend_args
+        return make_matrix_row_fn(D)
+    if frontend == "mash":
+        (ranks_pad,) = frontend_args
+        k, sketch_size = frontend_static
+        return make_mash_row_fn(ranks_pad, k, sketch_size, dtype_name)
+    if frontend == "msa":
+        phi, nongap = frontend_args
+        (distance_type,) = frontend_static
+        return make_msa_row_fn(phi, nongap, distance_type, dtype_name)
+    raise ValueError(frontend)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_sequences", "backbone_size", "frontend",
+                     "frontend_static", "dtype_name"),
+)
+def run_add_queries(frontend_args, e0, belong0, length0, rev0, *,
+                    num_sequences: int, backbone_size: int, frontend: str,
+                    frontend_static=(), dtype_name: str):
+    """--add: seed closest lists from the loaded backbone (BFS per
+    backbone leaf, initializeDeviceArrays :241-260), then insert
+    queries i = B..N-1 with the edge cursor at 4B-4 (addQuery :887)."""
+    N = num_sequences
+    B = backbone_size
+    dtype = jnp.dtype(dtype_name)
+    row_fn = _make_row_fn(frontend_args, frontend, frontend_static, dtype_name)
+    E = 4 * N
+    st = TreeState(
+        e=e0, belong=belong0, length=length0.astype(dtype), rev=rev0,
+        cdis=jnp.full((E, K), SENT_DIS, dtype),
+        cid=jnp.full((E, K), -1, jnp.int32),
+        idx=jnp.int32(4 * B - 4),
+    )
+
+    def seed(i, st):
+        return update_closest_bfs(st, i, 2 * N)
+
+    st = jax.lax.fori_loop(0, B, seed, st)
+
+    def body(i, st):
+        return insertion_step(st, i, row_fn, N)
+
+    st = jax.lax.fori_loop(B, N, body, st)
+    return st.e, st.belong, st.length
+
+
+# ---------------------------------------------------------------------------
+# Host-side finalization
+# ---------------------------------------------------------------------------
+
+
+def edges_to_newick(e, belong, length, names, num_sequences: int,
+                    root: int | None = None) -> str:
+    """Rebuild adjacency host-side and serialize (printTree recursion,
+    src/placement_close_k.cu:568-643; root = node N)."""
+    from dipper_tpu.io.newick import adjacency_newick
+
+    e = np.asarray(e)
+    belong = np.asarray(belong)
+    length = np.asarray(length, dtype=np.float64)
+    N = num_sequences
+    adj = [[] for _ in range(2 * N)]
+    for eid in range(len(e)):
+        if belong[eid] >= 0 and e[eid] >= 0:
+            adj[belong[eid]].append((int(e[eid]), float(length[eid])))
+    if root is None:
+        root = N
+    return adjacency_newick(N, names, adj, root)

@@ -362,8 +362,12 @@ class KPlacementOracle:
 
     def score_edges(self, dist_row):
         """Returns (best_eid, fracLen, addLen)
-        (src/placement_close_k.cu:309-358)."""
-        best = (2.0, 1 << 60)  # (addi, eid)
+        (src/placement_close_k.cu:309-358). Invalid slots hold the
+        sentinel tuple (0, 0, 2.0); when every real candidate has
+        addi >= 2.0, thrust::min_element lands on slot 0 (always
+        invalid: edge 0 is 0->N) and the reference splices edge 0 with
+        frac=0 add=2."""
+        best = (2.0, 0)  # (addi, eid): sentinel tuple at slot 0
         best_frac = 0.0
         for eid in range(self.idx):
             if self.belong[eid] < self.e[eid]:

@@ -1,0 +1,143 @@
+"""K-closest placement: device engine vs transliterated oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dipper_tpu.placement import kclosest
+from dipper_tpu.utils.treecmp import rf_distance
+
+from oracle import KPlacementOracle
+from test_nj import random_additive_matrix
+
+
+def _scale(D):
+    """Scale distances into the mash-like [0, 1] domain the engine's
+    2.0 'infinity' sentinel assumes."""
+    return D / (D.max() * 1.05)
+
+
+def _run_oracle(D):
+    n = D.shape[0]
+    o = KPlacementOracle(n)
+    o.run(lambda i: D[i])
+    return o
+
+
+def _run_device(D, dtype="float64"):
+    n = D.shape[0]
+    e, belong, length = kclosest.run_placement(
+        (jnp.asarray(D, jnp.dtype(dtype)),),
+        num_sequences=n, frontend="matrix", dtype_name=dtype,
+    )
+    return jax.device_get((e, belong, length))
+
+
+@pytest.mark.parametrize("n", [4, 7, 16, 40, 100])
+def test_kclosest_matches_oracle_additive(n):
+    rng = np.random.default_rng(n)
+    D = _scale(random_additive_matrix(n, rng))
+    o = _run_oracle(D)
+    e, belong, length = _run_device(D)
+    # exact structural comparison: same edge arrays
+    used = belong >= 0
+    assert (np.asarray(o.e[: used.sum()]) == e[used]).all(), "e mismatch"
+    assert (np.asarray(o.belong[: used.sum()]) == belong[used]).all()
+    assert np.allclose(np.asarray(o.len[: used.sum()]), length[used], atol=1e-9)
+
+
+@pytest.mark.parametrize("n", [25, 60])
+def test_kclosest_matches_oracle_noisy(n):
+    rng = np.random.default_rng(n + 1000)
+    D = random_additive_matrix(n, rng)
+    D += rng.uniform(0, 0.05, D.shape)
+    D = _scale((D + D.T) / 2)
+    np.fill_diagonal(D, 0)
+    o = _run_oracle(D)
+    e, belong, length = _run_device(D)
+    names = [f"L{i}" for i in range(n)]
+    got = kclosest.edges_to_newick(e, belong, length, names, n)
+    want = o.to_newick(names)
+    rf, _ = rf_distance(got, want)
+    assert rf == 0
+
+
+def test_kclosest_placement_recovers_pruned_leaf():
+    """Placing a leaf pruned from an additive tree must reattach it at
+    the right place: tree distances must reproduce D."""
+    import collections
+
+    n = 30
+    rng = np.random.default_rng(77)
+    D = _scale(random_additive_matrix(n, rng))
+    e, belong, length = _run_device(D)
+    adj = collections.defaultdict(list)
+    for eid in range(len(e)):
+        if belong[eid] >= 0:
+            adj[int(belong[eid])].append((int(e[eid]), float(length[eid])))
+    for s in range(n):
+        d = {s: 0.0}
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            for v, l in adj[u]:
+                if v not in d:
+                    d[v] = d[u] + l
+                    q.append(v)
+        for t in range(n):
+            assert abs(d[t] - D[s, t]) < 1e-6, (s, t, d[t], D[s, t])
+
+
+def test_add_queries_matches_oracle():
+    """--add path: backbone from Newick + query insertion."""
+    from dipper_tpu.io.newick import parse_newick
+    from dipper_tpu.placement.api import backbone_tree_to_arrays
+    from oracle import KPlacementOracle
+
+    n = 24
+    B = 16
+    rng = np.random.default_rng(3)
+    D = random_additive_matrix(n, rng)
+    D = D / (D.max() * 1.05)
+
+    # backbone tree built by placement on the first B taxa
+    oB = KPlacementOracle(B)
+    oB.run(lambda i: D[i])
+    names_b = [f"L{i}" for i in range(B)]
+    backbone_nwk = oB.to_newick(names_b)
+
+    tree = parse_newick(backbone_nwk, total_leaves=n)
+    assert tree.num_leaves == B
+
+    # oracle --add
+    o = KPlacementOracle(n)
+    o.init_from_tree(tree, B)
+    o.run(lambda i: D[i], start=B, initial=False)
+    want = o.to_newick([f"L{i}" for i in range(n)])
+
+    # device --add (leaf ids in the parsed tree = encounter order; our
+    # D rows must be permuted accordingly)
+    leaf_names = tree.leaf_names_in_idx_order()
+    perm = [int(nm[1:]) for nm in leaf_names] + list(range(B, n))
+    Dp = D[np.ix_(perm, perm)]
+    # oracle again on permuted D to define expected output consistently
+    o2 = KPlacementOracle(n)
+    tree2 = parse_newick(backbone_nwk, total_leaves=n)
+    o2.init_from_tree(tree2, B)
+    o2.run(lambda i: Dp[i], start=B, initial=False)
+    names_p = [f"L{i}" for i in perm]
+    want = o2.to_newick(names_p)
+
+    e0, belong0, length0, rev0 = backbone_tree_to_arrays(tree, n, np.float64)
+    e, belong, length = kclosest.run_add_queries(
+        (jnp.asarray(Dp, jnp.float64),),
+        jnp.asarray(e0), jnp.asarray(belong0), jnp.asarray(length0),
+        jnp.asarray(rev0),
+        num_sequences=n, backbone_size=B, frontend="matrix",
+        dtype_name="float64",
+    )
+    got = kclosest.edges_to_newick(*jax.device_get((e, belong, length)),
+                                   names_p, n)
+    rf, _ = rf_distance(got, want)
+    assert rf == 0
