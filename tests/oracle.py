@@ -523,8 +523,8 @@ class ExactPlacementOracle(KPlacementOracle):
         # root the tree at node N; compute depth order
         _, par = self._tree_dists_from(self.N, 0)
         leaves = [v for v in par if v < self.N]
-        # per-leaf distances to every node
-        best = (2.0, 1 << 60)
+        # per-leaf distances to every node; sentinel tuple at slot 0
+        best = (2.0, 0)
         best_frac = 0.0
         # lim[(s,t)] = max over leaves on s-side of (d_new - dist(s, leaf))
         for eid in range(self.idx):
