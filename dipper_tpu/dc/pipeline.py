@@ -1,0 +1,482 @@
+"""Divide-and-conquer pipeline (N >= 1M auto mode; -m 3).
+
+Behavioral spec (src/divide_and_conquer/placement_close_k.cu):
+- Phase 1 findBackboneTreeDC (:731-935): k-closest placement of the
+  first B = N/20 taxa; middle nodes numbered placeId + N_total - 1,
+  initial internal node = N_total.
+- Phase 2 findClustersDC (:937-1113): for each remaining taxon, the
+  best backbone attachment edge (same scoring, tree untouched) ->
+  clusterID.
+- Phase 3 findClusterTreeDC (:1251-1535): clusters processed in
+  ascending-edge order; each starts from an edge mask {eid, otheid}
+  and a leaf mask of the 10 closest witnesses of the two directions
+  (initializeClusterDC :604-635); queries insert restricted to masked
+  edges with distances only to masked leaves; new middle nodes numbered
+  by a GLOBAL insertLeafCount (N_total + B - 1 + running index) and new
+  edges by a global 4-per-insertion cursor from 4B-4; the witness BFS
+  does not expand through the cluster edge's endpoints (:334).
+
+TPU design: the reference runs phase 2 one query at a time and phase 3
+cluster-serial with <<<1,1>>> kernels. Here:
+- phase 2 is embarrassingly parallel: chunked vmap of the edge scorer
+  over queries (identical backbone state for all queries);
+- phase 3 exploits that clusters are independent given their id bases
+  (the reference's own TBB variant proves this with prefix sums,
+  dc/placement_close_k.cpp:707-760): every cluster builds in a LOCAL
+  index space (nodes 0,1 = cluster edge endpoints; leaves/middles
+  local; witness labels 0..9 for the initial lists, 10+k for cluster
+  queries), vmapped over clusters with padding to the max cluster
+  size; global ids are recovered afterwards by pure arithmetic with
+  cluster-size prefix sums, reproducing the reference numbering
+  exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dipper_tpu.placement import kclosest
+from dipper_tpu.placement.kclosest import TreeState, K, SENT_DIS
+from dipper_tpu.utils.params import Param
+
+
+def _log(m):
+    print(m, file=sys.stderr)
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: cluster assignment
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "sketch_size", "dtype_name",
+                                             "backbone_size"))
+def _phase2_chunk_mash(state: TreeState, ranks_pad, q_ids, *, k, sketch_size,
+                       dtype_name, backbone_size):
+    bank = ranks_pad[:backbone_size]
+
+    from dipper_tpu.distance.mash import mash_rows_vs_bank
+
+    def one(q):
+        row = mash_rows_vs_bank(bank, ranks_pad[q], k=k,
+                                sketch_size=sketch_size, dtype_name=dtype_name)
+        eid, _, _ = kclosest.score_edges(state, row)
+        return eid
+
+    return jax.vmap(one)(q_ids)
+
+
+@functools.partial(jax.jit, static_argnames=("backbone_size",))
+def _phase2_chunk_matrix(state: TreeState, Dm, q_ids, *, backbone_size):
+    def one(q):
+        row = Dm[q, :backbone_size]
+        eid, _, _ = kclosest.score_edges(state, row)
+        return eid
+
+    return jax.vmap(one)(q_ids)
+
+
+@functools.partial(jax.jit, static_argnames=("distance_type", "dtype_name"))
+def _phase2_chunk_msa(state: TreeState, phi_backbone, nongap_backbone,
+                      phi_q, nongap_q, *, distance_type, dtype_name):
+    from dipper_tpu.distance.msa import _block_distance
+
+    L = phi_backbone.shape[2]
+    blk = _block_distance(
+        phi_q, phi_backbone, nongap_q, nongap_backbone,
+        distance_type=distance_type, dtype_name=dtype_name, seq_len=L,
+    )  # [chunk, B]
+
+    def one(row):
+        eid, _, _ = kclosest.score_edges(state, row)
+        return eid
+
+    return jax.vmap(one)(blk)
+
+
+# ---------------------------------------------------------------------------
+# Phase 3: local cluster builds
+# ---------------------------------------------------------------------------
+
+
+def _mask_order_perm(cmax: int) -> np.ndarray:
+    """Mask-scan order -> local edge id. Positions: 0 -> edge 0 (eid),
+    1 -> edge 1 (otheid), then per insertion g: idx-1, idx-2, idx-3,
+    idx-4 == local edges 5+4g, 4+4g, 3+4g, 2+4g
+    (updateClusterInfoDC :567-569)."""
+    perm = np.zeros(2 + 4 * cmax, dtype=np.int32)
+    perm[0] = 0
+    perm[1] = 1
+    for g in range(cmax):
+        base = 2 + 4 * g
+        perm[2 + 4 * g : 6 + 4 * g] = [base + 3, base + 2, base + 1, base]
+    return perm
+
+
+def _new_group_scoreable() -> np.ndarray:
+    """belong>e in GLOBAL numbering for the 4 edges of an insertion:
+    middles exceed every prior id, so i0 (middle->x), i1 (middle->y),
+    i3 (middle->outside) are scoreable and i2 (outside->middle) is not."""
+    return np.array([True, True, False, True])
+
+
+@functools.partial(jax.jit, static_argnames=("cmax", "dtype_name"))
+def _cluster_build(Dq, cd_init, cid_init, lens_init, sz, *, cmax: int,
+                   dtype_name: str):
+    """One cluster's local build. Dq [cmax, 10+cmax] distances (query k
+    vs witness w); cd_init/cid_init [2, K] remapped witness lists of the
+    two cluster-edge directions; lens_init [2]; sz = real member count.
+    Returns local (e, belong, length) with E = 2+4cmax slots."""
+    dtype = jnp.dtype(dtype_name)
+    E = 2 + 4 * cmax
+    Mn = 2 + 2 * cmax           # local nodes: 0,1 endpoints; 2+k leaf; 2+cmax+k middle
+    W = 10 + cmax
+
+    st = TreeState(
+        e=jnp.full((E,), -1, jnp.int32).at[0].set(1).at[1].set(0),
+        belong=jnp.full((E,), -1, jnp.int32).at[0].set(0).at[1].set(1),
+        length=jnp.zeros((E,), dtype).at[0].set(lens_init[0]).at[1].set(lens_init[1]),
+        rev=jnp.full((E,), -1, jnp.int32).at[0].set(1).at[1].set(0),
+        cdis=jnp.full((E, K), SENT_DIS, dtype).at[0].set(cd_init[0]).at[1].set(cd_init[1]),
+        cid=jnp.full((E, K), -1, jnp.int32).at[0].set(cid_init[0]).at[1].set(cid_init[1]),
+        idx=jnp.int32(2),
+    )
+
+    perm = jnp.asarray(_mask_order_perm(cmax))
+    pos_group = jnp.concatenate(
+        [jnp.array([-1, -1], jnp.int32),
+         jnp.repeat(jnp.arange(cmax, dtype=jnp.int32), 4)]
+    )
+    # dynamic belong>e flags in GLOBAL id terms: the cluster-edge
+    # direction starts scoreable; a splice makes both halves of the
+    # split edge point at the new middle (largest id) -> unscoreable
+    scoreable0 = jnp.zeros((E,), jnp.bool_).at[0].set(True)
+    grp = jnp.asarray(_new_group_scoreable())
+
+    def body(kq, carry):
+        st, scoreable = carry
+        row = Dq[kq]
+        # per-edge score in natural local order
+        ids = jnp.maximum(st.cid, 0)
+        dv = jnp.where(st.cid != -1, row[ids] - st.cdis, -jnp.inf)
+        side = jnp.maximum(jnp.max(dv, axis=1), 0.0)
+        dis1 = side
+        dis2 = side[jnp.maximum(st.rev, 0)]
+        L = st.length
+        addi = jnp.maximum((dis1 + dis2 - L) * 0.5, 0.0)
+        dis1 = jnp.maximum(dis1 - addi, 0.0)
+        dis2 = jnp.maximum(dis2 - addi, 0.0)
+        addi = addi + jnp.maximum(dis1 - L, 0.0) + jnp.maximum(dis2 - L, 0.0)
+        dis1 = jnp.minimum(dis1, L)
+        rest = L - dis1 - jnp.minimum(dis2, L)
+        dis1 = dis1 + rest * 0.5
+        # permute to mask order; a group's edges become scoreable only
+        # after its insertion (g < kq); positions 0/1 always exist
+        score_nat = addi
+        frac_nat = dis1
+        valid_pos = scoreable[perm] & ((pos_group < kq) | (pos_group < 0))
+        score_m = jnp.where(valid_pos, score_nat[perm],
+                            jnp.asarray(SENT_DIS, dtype))
+        frac_m = jnp.where(valid_pos, frac_nat[perm], 0.0)
+        pos = jnp.argmin(score_m).astype(jnp.int32)
+        eid = perm[pos]
+        frac = frac_m[pos]
+        add = score_m[pos]
+        middle = 2 + cmax + kq
+        outside = 2 + kq
+        ye = st.rev[eid]
+        st = kclosest.splice(st, eid, frac, add, outside, 0,
+                             middle=middle, outside=outside)
+        base = 2 + 4 * kq
+        scoreable = scoreable.at[eid].set(False).at[ye].set(False)
+        scoreable = jax.lax.dynamic_update_slice(scoreable, grp, (base,))
+        # endpoint block: the reference reads e[cluster_eid] /
+        # belong[cluster_eid] at BFS-launch time (:329) — after the
+        # first splice onto the cluster edge that's (x, first middle),
+        # not the original endpoints. Slot 0 is the cluster edge.
+        st = kclosest.update_closest_bfs(
+            st, outside, Mn, label=10 + kq,
+            blocked_nodes=(st.belong[0], st.e[0]),
+        )
+        return st, scoreable
+
+    def masked_body(kq, carry):
+        return jax.lax.cond(kq < sz, lambda c: body(kq, c), lambda c: c, carry)
+
+    st, _ = jax.lax.fori_loop(0, cmax, masked_body, (st, scoreable0))
+    return st.e, st.belong, st.length
+
+
+@functools.lru_cache(maxsize=None)
+def _cluster_build_vmapped(cmax: int, dtype_name: str):
+    fn = lambda Dq, cd, cid, ln, sz: _cluster_build(
+        Dq, cd, cid, ln, sz, cmax=cmax, dtype_name=dtype_name)
+    return jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, 0, 0)))
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+def build_dc_tree_from_matrix(D, names, params: Param) -> str:
+    """D&C from a precomputed distance matrix (an extension over the
+    reference, which rejects matrix input in DC mode; also the bitwise
+    test harness: oracle and engine consume identical doubles)."""
+    return build_dc_tree(None, names, params, matrix=D)
+
+
+def build_dc_tree(seqs, names, params: Param, matrix=None) -> str:
+    N = len(names)
+    B = params.backbone_size
+    if B < 4:
+        raise SystemExit("backbone too small for divide-and-conquer")
+    dtype_name = str(jnp.dtype(params.dtype))
+    dtype = jnp.dtype(dtype_name)
+
+    # ---- frontend prep
+    if matrix is not None:
+        Dm = jnp.asarray(matrix, dtype)
+        backbone_args = (((Dm[:B, :B]),), ())
+        frontend = "matrix"
+    elif params.in_format == "r":
+        from dipper_tpu.sketch.minhash import sketch_sequences
+        from dipper_tpu.distance.mash import rank_compress, pad_ranks
+
+        sk = sketch_sequences(seqs, params.kmer_size, params.sketch_size)
+        ranks = pad_ranks(rank_compress(jnp.asarray(sk)))
+        backbone_args = ((ranks[:B],), (params.kmer_size, params.sketch_size))
+        frontend = "mash"
+    elif params.in_format == "m":
+        from dipper_tpu.distance.msa import build_channels
+        from dipper_tpu.io.encode import batch_codes, encode_4bit_codes
+
+        codes, _ = batch_codes(seqs, encode_4bit_codes, pad_value=4)
+        phi_np = build_channels(codes)
+        nongap_np = phi_np[:, 4, :].sum(axis=1)
+        phi = jnp.asarray(phi_np)
+        nongap = jnp.asarray(nongap_np, dtype)
+        backbone_args = ((phi[:B], nongap[:B]), (params.distance_type,))
+        frontend = "msa"
+    else:
+        raise SystemExit(
+            "Error: Input type must be unaligned or aligned for "
+            "clustering based approach")
+
+    # ---- Phase 1: backbone (local id space, remapped at assembly)
+    _log("DC phase 1: backbone placement")
+    state = kclosest.run_placement_full(
+        backbone_args[0], num_sequences=B, frontend=frontend,
+        frontend_static=backbone_args[1], dtype_name=dtype_name,
+    )
+
+    # ---- Phase 2: cluster assignment
+    _log("DC phase 2: cluster assignment")
+    cluster_id = np.empty(N, dtype=np.int64)
+    chunk = 256
+    for s in range(B, N, chunk):
+        qe = min(N, s + chunk)
+        q_ids = jnp.arange(s, qe)
+        if frontend == "matrix":
+            eids = _phase2_chunk_matrix(state, Dm, q_ids, backbone_size=B)
+        elif frontend == "mash":
+            eids = _phase2_chunk_mash(
+                state, ranks, q_ids, k=params.kmer_size,
+                sketch_size=params.sketch_size, dtype_name=dtype_name,
+                backbone_size=B,
+            )
+        else:
+            eids = _phase2_chunk_msa(
+                state, phi[:B], nongap[:B], phi[s:qe], nongap[s:qe],
+                distance_type=params.distance_type, dtype_name=dtype_name,
+            )
+        cluster_id[s:qe] = np.asarray(jax.device_get(eids))
+
+    # ---- Phase 3: per-cluster local builds
+    _log("DC phase 3: cluster trees")
+    contains: dict[int, list[int]] = {}
+    for q in range(B, N):
+        contains.setdefault(int(cluster_id[q]), []).append(q)
+    cluster_eids = sorted(contains)
+    sizes = np.array([len(contains[c]) for c in cluster_eids], dtype=np.int64)
+    prefix = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    cmax = int(sizes.max()) if len(sizes) else 0
+
+    e_h = np.asarray(jax.device_get(state.e)).copy()
+    belong_h = np.asarray(jax.device_get(state.belong)).copy()
+    len_h = np.asarray(jax.device_get(state.length), dtype=np.float64).copy()
+    rev_h = np.asarray(jax.device_get(state.rev))
+    cid_h = np.asarray(jax.device_get(state.cid))
+    cd_h = np.asarray(jax.device_get(state.cdis), dtype=np.float64)
+
+    # remap backbone-local node ids to FINAL global ids up front:
+    # leaf v < B stays; internal v in [B, 2B-2] -> N + (v - B)
+    # (reference: initial node N_total, middles placeId + N_total - 1)
+    def bb_final(v):
+        return v if v < B else N + (v - B)
+
+    bb_final_vec = np.vectorize(lambda v: -1 if v < 0 else bb_final(v))
+
+    # global output arrays (edge-id space of the full tree)
+    E_glob = 4 * N
+    g_e = np.full(E_glob, -1, np.int64)
+    g_belong = np.full(E_glob, -1, np.int64)
+    g_len = np.zeros(E_glob, np.float64)
+    nb_used = 4 * B - 4
+    g_e[:nb_used] = bb_final_vec(e_h[:nb_used])
+    g_belong[:nb_used] = bb_final_vec(belong_h[:nb_used])
+    g_len[:nb_used] = len_h[:nb_used]
+
+    if cmax > 0:
+        nclusters = len(cluster_eids)
+        W = 10 + cmax
+        # build per-cluster inputs
+        wit_global = np.zeros((nclusters, W), np.int64)      # global leaf ids
+        members = np.zeros((nclusters, cmax), np.int64)
+        cd_init = np.full((nclusters, 2, K), SENT_DIS, np.float64)
+        cid_init = np.full((nclusters, 2, K), -1, np.int64)
+        lens_init = np.zeros((nclusters, 2), np.float64)
+        for ci, ceid in enumerate(cluster_eids):
+            oth = rev_h[ceid]
+            for j in range(K):
+                for s_i, src in enumerate((ceid, oth)):
+                    gid = cid_h[src, j]
+                    cid_init[ci, s_i, j] = (s_i * K + j) if gid != -1 else -1
+                    cd_init[ci, s_i, j] = cd_h[src, j]
+                    wit_global[ci, s_i * K + j] = max(gid, 0)
+            lens_init[ci, 0] = len_h[ceid]
+            lens_init[ci, 1] = len_h[oth]
+            mem = contains[ceid]
+            members[ci, : len(mem)] = mem
+            wit_global[ci, 10 : 10 + len(mem)] = mem
+            if len(mem) < cmax:
+                members[ci, len(mem):] = mem[0] if mem else 0
+                wit_global[ci, 10 + len(mem):] = mem[0] if mem else 0
+
+        # distance tensors Dq [nclusters, cmax, W]
+        cchunk = max(1, 256 // max(1, cmax))
+        loc_e = np.zeros((nclusters, 2 + 4 * cmax), np.int64)
+        loc_b = np.zeros((nclusters, 2 + 4 * cmax), np.int64)
+        loc_l = np.zeros((nclusters, 2 + 4 * cmax), np.float64)
+        for s in range(0, nclusters, cchunk):
+            ce = min(nclusters, s + cchunk)
+            if frontend == "matrix":
+                payload = Dm
+            elif frontend == "mash":
+                payload = ranks
+            else:
+                payload = (phi, nongap)
+            Dq = _dc_pair_distances(
+                frontend, params, dtype_name,
+                wit_global[s:ce], members[s:ce], payload,
+            )
+            le, lb, ll = _cluster_build_vmapped(cmax, dtype_name)(
+                Dq,
+                jnp.asarray(cd_init[s:ce], dtype),
+                jnp.asarray(cid_init[s:ce], jnp.int32),
+                jnp.asarray(lens_init[s:ce], dtype),
+                jnp.asarray(sizes[s:ce], jnp.int32),
+            )
+            loc_e[s:ce] = np.asarray(jax.device_get(le))
+            loc_b[s:ce] = np.asarray(jax.device_get(lb))
+            loc_l[s:ce] = np.asarray(jax.device_get(ll), dtype=np.float64)
+
+        # ---- assembly: local -> FINAL global ids
+        # middle k of cluster ci -> N + B - 1 + p_c + k (reference:
+        # insertLeafCount + N_total - 1 with insertLeafCount = B + t)
+        for ci, ceid in enumerate(cluster_eids):
+            szc = int(sizes[ci])
+            p_c = int(prefix[ci])
+            oth = int(rev_h[ceid])
+            x_f = bb_final(int(belong_h[ceid]))
+            y_f = bb_final(int(e_h[ceid]))
+            mem = contains[ceid]
+
+            def node_map(v):
+                if v == 0:
+                    return x_f
+                if v == 1:
+                    return y_f
+                if v < 2 + cmax:
+                    return mem[v - 2]          # query leaf (global id)
+                return N + B - 1 + p_c + (v - 2 - cmax)  # middle
+
+            # overwrite the cluster edge's two slots
+            for s_i, gslot in enumerate((ceid, oth)):
+                g_e[gslot] = node_map(int(loc_e[ci, s_i]))
+                g_belong[gslot] = node_map(int(loc_b[ci, s_i]))
+                g_len[gslot] = loc_l[ci, s_i]
+            for g in range(szc):
+                gbase = nb_used + 4 * (p_c + g)
+                for m in range(4):
+                    ls = 2 + 4 * g + m
+                    g_e[gbase + m] = node_map(int(loc_e[ci, ls]))
+                    g_belong[gbase + m] = node_map(int(loc_b[ci, ls]))
+                    g_len[gbase + m] = loc_l[ci, ls]
+
+    from dipper_tpu.io.newick import adjacency_newick
+
+    global last_debug
+    last_debug = {"e": g_e, "belong": g_belong, "len": g_len}
+    adj_list = [[] for _ in range(2 * N)]
+    for eid in range(E_glob):
+        if g_belong[eid] >= 0:
+            adj_list[int(g_belong[eid])].append(
+                (int(g_e[eid]), float(g_len[eid])))
+    # root = N_total + bd - 2 = N (printTreeDC :708)
+    return adjacency_newick(N, list(names), adj_list, N)
+
+
+last_debug = None
+
+
+def _dc_pair_distances(frontend, params: Param, dtype_name, wit_global,
+                       members, payload):
+    """[C_chunk, cmax, W] distance tensors: Dq[c, k, w] = d(witness w
+    placed, query k new)."""
+    if frontend == "matrix":
+        Dm = payload
+        wit = jnp.asarray(wit_global)
+        mem = jnp.asarray(members)
+
+        def per_cluster(w_ids, m_ids):
+            return Dm[m_ids][:, w_ids]
+
+        return jax.vmap(per_cluster)(wit, mem)
+    if frontend == "mash":
+        ranks = payload
+        from dipper_tpu.distance.mash import mash_pairwise
+
+        wit = jnp.asarray(wit_global)
+        mem = jnp.asarray(members)
+
+        def per_cluster(w_ids, m_ids):
+            bank = ranks[w_ids]
+            queries = ranks[m_ids]
+            return mash_pairwise(
+                bank, queries, k=params.kmer_size,
+                sketch_size=params.sketch_size, dtype_name=dtype_name)
+
+        return jax.vmap(per_cluster)(wit, mem)
+    else:
+        phi, nongap = payload
+        from dipper_tpu.distance.msa import _block_distance
+
+        L = phi.shape[2]
+        wit = jnp.asarray(wit_global)
+        mem = jnp.asarray(members)
+
+        def per_cluster(w_ids, m_ids):
+            blk = _block_distance(
+                phi[m_ids], phi[w_ids], nongap[m_ids], nongap[w_ids],
+                distance_type=params.distance_type, dtype_name=dtype_name,
+                seq_len=L,
+            )  # [cmax, W]; row side is the query ('ec') — symmetric models
+            return blk
+
+        return jax.vmap(per_cluster)(wit, mem)

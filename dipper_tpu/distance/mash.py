@@ -110,6 +110,26 @@ def _pad_pow2(S: int) -> int:
     return int(2 ** np.ceil(np.log2(max(S, 2))))
 
 
+def mash_rows_vs_bank(bank_ranks, query_ranks, *, k: int, sketch_size: int,
+                      dtype_name: str):
+    """bank_ranks int32 [Na, M] (the already-placed side, tag A),
+    query_ranks [M] (the new taxon, tag B) -> [Na] distances."""
+    dtype = jnp.dtype(dtype_name)
+    a_keys = bank_ranks * 2 + 1
+    b_keys = jnp.broadcast_to((query_ranks * 2)[None, :], a_keys.shape)
+    inter = _merged_inter_count(a_keys, b_keys, sketch_size)
+    return _inter_to_dist(inter, k, sketch_size, dtype)
+
+
+def mash_pairwise(bank_ranks, query_ranks, *, k: int, sketch_size: int,
+                  dtype_name: str):
+    """[Na, M] bank x [Nb, M] queries -> [Nb, Na] distances
+    (d[q, a] = distance with a as the placed side)."""
+    f = lambda q: mash_rows_vs_bank(
+        bank_ranks, q, k=k, sketch_size=sketch_size, dtype_name=dtype_name)
+    return jax.vmap(f)(query_ranks)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "sketch_size", "dtype_name"))
 def mash_row_from_ranks(ranks_pad, row_id, *, k: int, sketch_size: int,
                         dtype_name: str):

@@ -96,12 +96,20 @@ def build_initial_tree(st: TreeState, d01, num_sequences: int) -> TreeState:
     return st._replace(idx=jnp.int32(4))
 
 
-def update_closest_bfs(st: TreeState, leaf, num_nodes: int) -> TreeState:
+def update_closest_bfs(st: TreeState, leaf, num_nodes: int, label=None,
+                       blocked_nodes=()) -> TreeState:
     """Frontier-parallel equivalent of updateClosestNodes
-    (src/placement_close_k.cu:86-124). `leaf` is the BFS source."""
+    (src/placement_close_k.cu:86-124). `leaf` is the BFS source node;
+    `label` is the id recorded in witness lists (defaults to the node —
+    the D&C cluster engine uses local nodes but witness-space labels).
+    `blocked_nodes` are dequeued-but-not-expanded nodes (the cluster
+    edge endpoints in updateClosestNodesInClusterDC :334)."""
     M = num_nodes  # = 2N
     dtype = st.length.dtype
     leaf = jnp.asarray(leaf, jnp.int32)
+    if label is None:
+        label = leaf
+    label = jnp.asarray(label, jnp.int32)
     frontier = jnp.zeros((M,), jnp.bool_).at[leaf].set(True)
     from_node = jnp.full((M,), -1, jnp.int32)
     distx = jnp.zeros((M,), dtype)
@@ -115,7 +123,10 @@ def update_closest_bfs(st: TreeState, leaf, num_nodes: int) -> TreeState:
         src = st.belong
         used = src >= 0
         srcc = jnp.where(used, src, 0)
-        act = used & frontier[srcc] & (st.e != from_node[srcc])
+        expand = frontier
+        for b in blocked_nodes:
+            expand = expand.at[b].set(False)
+        act = used & expand[srcc] & (st.e != from_node[srcc])
         d = distx[srcc]
         pos = jnp.sum((st.cdis <= d[:, None]).astype(jnp.int32), axis=1)
         ok = act & (pos < K)
@@ -131,7 +142,7 @@ def update_closest_bfs(st: TreeState, leaf, num_nodes: int) -> TreeState:
             [jnp.full((st.cid.shape[0], 1), -1, jnp.int32), st.cid[:, :-1]], axis=1
         )
         new_cd = jnp.where(before, st.cdis, jnp.where(at, d[:, None], shifted_cd))
-        new_id = jnp.where(before, st.cid, jnp.where(at, leaf, shifted_id))
+        new_id = jnp.where(before, st.cid, jnp.where(at, label, shifted_id))
         cdis = jnp.where(ok[:, None], new_cd, st.cdis)
         cid = jnp.where(ok[:, None], new_id, st.cid)
         # propagate to dst of successful edges (unique path => no dups)
@@ -194,13 +205,20 @@ def _insert_merge_lists(cd1, id1, cd2, id2, dtype):
     return vals[order][:K], ids[order][:K]
 
 
-def splice(st: TreeState, eid, frac, add, place_id, num_sequences: int) -> TreeState:
-    """updateTreeStructure (src/placement_close_k.cu:446-528)."""
+def splice(st: TreeState, eid, frac, add, place_id, num_sequences: int,
+           middle=None, outside=None) -> TreeState:
+    """updateTreeStructure (src/placement_close_k.cu:446-528).
+    `middle`/`outside` override the default node numbering (used by the
+    D&C cluster engine and the total-offset backbone phase)."""
     dtype = st.length.dtype
     N = num_sequences
     place_id = jnp.asarray(place_id, jnp.int32)  # fori index is int64 under x64
-    middle = place_id + N - 1
-    outside = place_id
+    if middle is None:
+        middle = place_id + N - 1
+    if outside is None:
+        outside = place_id
+    middle = jnp.asarray(middle, jnp.int32)
+    outside = jnp.asarray(outside, jnp.int32)
     x = st.belong[eid]
     y = st.e[eid]
     orig = st.length[eid]
@@ -229,7 +247,9 @@ def splice(st: TreeState, eid, frac, add, place_id, num_sequences: int) -> TreeS
 
     # closest lists of the four new edges
     sent = jnp.asarray(SENT_DIS, dtype)
-    cd_i0 = jnp.where(id_ye != -1, cd_ye + (orig - frac), sent)
+    # NB: (cd + orig) - frac, matching the reference's left-to-right
+    # float association (:398) — bit parity matters at score ties
+    cd_i0 = jnp.where(id_ye != -1, cd_ye + orig - frac, sent)
     id_i0 = id_ye
     cd_i1 = jnp.where(id_xe != -1, cd_xe + frac, sent)
     id_i1 = id_xe
@@ -295,14 +315,25 @@ def insertion_step(st: TreeState, i, row_fn, num_sequences: int):
     return st
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_sequences", "frontend", "frontend_static", "dtype_name"),
-)
 def run_placement(frontend_args, *, num_sequences: int, frontend: str,
                   frontend_static=(), dtype_name: str):
     """Builds the whole placement tree on device. Returns final edge
     arrays (e, belong, length)."""
+    st = run_placement_full(
+        frontend_args, num_sequences=num_sequences, frontend=frontend,
+        frontend_static=frontend_static, dtype_name=dtype_name,
+    )
+    return st.e, st.belong, st.length
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_sequences", "frontend", "frontend_static", "dtype_name"),
+)
+def run_placement_full(frontend_args, *, num_sequences: int, frontend: str,
+                       frontend_static=(), dtype_name: str) -> TreeState:
+    """Like run_placement but returns the full TreeState (the D&C
+    pipeline needs rev + witness lists for phases 2-3)."""
     N = num_sequences
     dtype = jnp.dtype(dtype_name)
     row_fn = _make_row_fn(frontend_args, frontend, frontend_static, dtype_name)
@@ -315,8 +346,7 @@ def run_placement(frontend_args, *, num_sequences: int, frontend: str,
     def body(i, st):
         return insertion_step(st, i, row_fn, N)
 
-    st = jax.lax.fori_loop(2, N, body, st)
-    return st.e, st.belong, st.length
+    return jax.lax.fori_loop(2, N, body, st)
 
 
 def _make_row_fn(frontend_args, frontend: str, frontend_static, dtype_name: str):

@@ -297,14 +297,18 @@ INF_D = 2.0
 
 
 class KPlacementOracle:
-    def __init__(self, num_sequences: int):
+    def __init__(self, num_sequences: int, total: int | None = None):
+        """`total`: D&C mode — middle nodes numbered placeId+total-1 and
+        the initial internal node is `total` (dc/placement_close_k.cu:373,
+        :537); node/edge arrays sized for `total`."""
         N = num_sequences
         self.N = N
-        E = 4 * N
+        self.total = total if total is not None else N
+        E = 4 * self.total
         self.e = [-1] * E
         self.belong = [-1] * E
         self.nxt = [-1] * E
-        self.head = [-1] * (2 * N)
+        self.head = [-1] * (2 * self.total)
         self.len = [0.0] * E
         self.cd = [[INF_D] * K for _ in range(E)]   # closest_dis
         self.cid = [[-1] * K for _ in range(E)]     # closest_id
@@ -330,7 +334,7 @@ class KPlacementOracle:
         raise KeyError((u, v))
 
     def build_initial_tree(self, d01: float):
-        N = self.N
+        N = self.total
         self._add_edge(0, N, d01 / 2)
         self._add_edge(1, N, d01 / 2)
         self._add_edge(N, 0, d01 / 2)
@@ -409,10 +413,11 @@ class KPlacementOracle:
                 best_frac = dis1
         return best[1], best_frac, best[0]
 
-    def splice(self, eid: int, frac: float, add: float, place_id: int):
+    def splice(self, eid: int, frac: float, add: float, place_id: int,
+               middle: int | None = None):
         """src/placement_close_k.cu:446-528."""
-        N = self.N
-        middle = place_id + N - 1
+        if middle is None:
+            middle = place_id + self.total - 1
         outside = place_id
         x, y = self.belong[eid], self.e[eid]
         orig = self.len[eid]
@@ -483,13 +488,13 @@ class KPlacementOracle:
     def to_newick(self, names):
         from dipper_tpu.io.newick import adjacency_newick
 
-        edges = [[] for _ in range(2 * self.N)]
-        for u in range(2 * self.N):
+        edges = [[] for _ in range(2 * self.total)]
+        for u in range(2 * self.total):
             i = self.head[u]
             while i != -1:
                 edges[u].append((self.e[i], self.len[i]))
                 i = self.nxt[i]
-        return adjacency_newick(self.N, names, edges, self.N)
+        return adjacency_newick(self.total, names, edges, self.total)
 
 
 # ---------------------------------------------------------------------------
@@ -589,3 +594,132 @@ class ExactPlacementOracle(KPlacementOracle):
             row = dist_fn(i)
             eid, frac, add = self.score_edges_exact(row, i)
             self.splice_exact(eid, frac, add, i)
+
+
+# ---------------------------------------------------------------------------
+# Divide-and-conquer oracle (src/divide_and_conquer/placement_close_k.cu):
+# backbone build with total-offset ids, cluster assignment (tree untouched),
+# per-cluster masked insertion with global insertLeafCount numbering.
+# ---------------------------------------------------------------------------
+
+
+class DCOracle(KPlacementOracle):
+    def __init__(self, backbone_size: int, total: int):
+        super().__init__(backbone_size, total=total)
+        self.B = backbone_size
+
+    def run_backbone(self, dist_fn):
+        """Phase 1 (findBackboneTreeDC :731-935): identical insertion
+        loop over taxa 0..B-1."""
+        self.run(dist_fn)  # uses self.N == B, middles offset by total
+
+    def assign_clusters(self, dist_fn):
+        """Phase 2 (findClustersDC :937-1113): for each query, the best
+        backbone attachment edge; tree unchanged."""
+        self.cluster_id = {}
+        for q in range(self.B, self.total):
+            row = dist_fn(q)
+            eid, _, _ = self.score_edges(row)
+            self.cluster_id[q] = eid
+
+    def build_cluster_trees(self, dist_fn):
+        """Phase 3 (findClusterTreeDC :1251-1535)."""
+        contains = {}
+        for q in range(self.B, self.total):
+            contains.setdefault(self.cluster_id[q], []).append(q)
+        insert_leaf_count = self.B
+        self.idx = 4 * self.B - 4
+        for ceid in sorted(contains):
+            members = contains[ceid]
+            x, y = self.belong[ceid], self.e[ceid]
+            otheid = self._find_edge(y, x)
+            # masks (initializeClusterDC :604-635)
+            leaf_mask = list(self.cid[ceid]) + list(self.cid[otheid])
+            edge_mask = [ceid, otheid]
+            for leaf in members:
+                row = dist_fn(leaf)
+                # masked scoring over edge_mask positions
+                # (calculateBranchLengthSpecialIDDC :180-234); sentinel
+                # tuple at mask position 0 when nothing beats 2.0
+                best = (2.0, 0)
+                best_frac = 0.0
+                chosen = None
+                for pos, eid in enumerate(edge_mask):
+                    if self.belong[eid] < self.e[eid]:
+                        continue
+                    xx, oth = self.belong[eid], self.e[eid]
+                    dis1 = 0.0
+                    for j in range(K):
+                        if self.cid[eid][j] != -1:
+                            v = row[self.cid[eid][j]] - self.cd[eid][j]
+                            if v > dis1:
+                                dis1 = v
+                    oe = self._find_edge(oth, xx)
+                    dis2 = 0.0
+                    for j in range(K):
+                        if self.cid[oe][j] != -1:
+                            v = row[self.cid[oe][j]] - self.cd[oe][j]
+                            if v > dis2:
+                                dis2 = v
+                    L = self.len[eid]
+                    addi = (dis1 + dis2 - L) / 2
+                    if addi < 0:
+                        addi = 0.0
+                    dis1 -= addi
+                    dis2 -= addi
+                    if dis1 < 0:
+                        dis1 = 0.0
+                    if dis2 < 0:
+                        dis2 = 0.0
+                    if dis1 > L:
+                        addi += dis1 - L
+                        dis1 = L
+                    if dis2 > L:
+                        addi += dis2 - L
+                        dis2 = L
+                    rest = L - dis1 - dis2
+                    dis1 += rest / 2
+                    if (addi, pos) < best:
+                        best = (addi, pos)
+                        best_frac = dis1
+                        chosen = eid
+                if chosen is None:
+                    chosen = edge_mask[0]
+                    best_frac = 0.0
+                    best = (2.0, 0)
+                middle = insert_leaf_count + self.total - 1
+                self.splice(chosen, best_frac, best[0], leaf, middle=middle)
+                insert_leaf_count += 1
+                # updateClusterInfoDC: new edges appended idx-1..idx-4
+                edge_mask += [self.idx - 1, self.idx - 2,
+                              self.idx - 3, self.idx - 4]
+                leaf_mask.append(leaf)
+                # masked BFS with endpoint block
+                # (updateClosestNodesInClusterDC :312-356)
+                in_mask = set(edge_mask)
+                ed1, ed2 = self.e[ceid], self.belong[ceid]
+                queue = [(leaf, -1, 0.0)]
+                qi = 0
+                while qi < len(queue):
+                    node, fb, d = queue[qi]
+                    qi += 1
+                    if node == ed1 or node == ed2:
+                        continue
+                    i = self.head[node]
+                    while i != -1:
+                        if i in in_mask and self.e[i] != fb:
+                            for j in range(K):
+                                if self.cd[i][j] > d:
+                                    self.cd[i].insert(j, d)
+                                    self.cd[i].pop()
+                                    self.cid[i].insert(j, leaf)
+                                    self.cid[i].pop()
+                                    queue.append(
+                                        (self.e[i], node, d + self.len[i]))
+                                    break
+                        i = self.nxt[i]
+
+    def run_dc(self, dist_fn):
+        self.run_backbone(dist_fn)
+        self.assign_clusters(dist_fn)
+        self.build_cluster_trees(dist_fn)

@@ -1,0 +1,99 @@
+"""Divide-and-conquer pipeline vs the transliterated DC oracle."""
+
+import numpy as np
+import pytest
+
+from dipper_tpu.utils.params import Param
+from dipper_tpu.utils.treecmp import rf_distance
+
+import oracle as orc
+from oracle import DCOracle
+from datagen import simulate_unaligned, write_fasta
+
+
+def _mash_matrix(seqs, k, ss):
+    from dipper_tpu.sketch.minhash import sketch_sequences
+
+    sk = sketch_sequences(seqs, k, ss)
+    n = len(seqs)
+    D = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                # d(row=i placed-side j): oracle signature (a=placed, b=new)
+                D[i, j] = orc.mash_distance(sk[j], sk[i], k, ss)
+    return D
+
+
+@pytest.mark.parametrize("n,b", [(40, 10), (60, 12), (90, 14)])
+def test_dc_matrix_matches_oracle_exact(n, b):
+    """Bitwise test path: both oracle and engine consume the same
+    precomputed doubles, so every decision must match exactly."""
+    from dipper_tpu.dc.pipeline import build_dc_tree_from_matrix
+    from test_nj import random_additive_matrix
+
+    rng = np.random.default_rng(n)
+    D = random_additive_matrix(n, rng)
+    D += rng.uniform(0, 0.02, D.shape)
+    D = (D + D.T) / 2
+    np.fill_diagonal(D, 0)
+    D = D / (D.max() * 1.05)
+
+    o = DCOracle(b, n)
+    o.run_dc(lambda i: D[i])
+    names = [f"L{i}" for i in range(n)]
+    want = o.to_newick(names)
+
+    params = Param(in_format="d", dtype="float64",
+                   backbone_size=b, batch_size=b)
+    got = build_dc_tree_from_matrix(D, names, params)
+    rf, nrf = rf_distance(got, want)
+    assert rf == 0, f"nRF={nrf}\nwant={want[:300]}\ngot={got[:300]}"
+
+
+@pytest.mark.parametrize("n,b", [(40, 10)])
+def test_dc_mash_close_to_oracle(n, b):
+    """Sequence-input path: engine computes distances internally (XLA
+    log vs numpy log can differ in the last ulp, flipping exact score
+    ties), so allow a small nRF."""
+    rng = np.random.default_rng(n)
+    names, seqs = simulate_unaligned(n, 1500, rng)
+    k, ss = 12, 150
+    D = _mash_matrix(seqs, k, ss)
+
+    o = DCOracle(b, n)
+    o.run_dc(lambda i: D[i])
+    want = o.to_newick(names)
+
+    from dipper_tpu.dc import build_dc_tree
+
+    params = Param(kmer_size=k, sketch_size=ss, in_format="r",
+                   dtype="float64", backbone_size=b, batch_size=b)
+    got = build_dc_tree(seqs, names, params)
+
+    rf, nrf = rf_distance(got, want)
+    assert nrf <= 0.1, f"nRF={nrf}"
+
+
+def test_dc_msa_matches_oracle():
+    from dipper_tpu.io.encode import batch_codes, encode_4bit_codes
+    from datagen import simulate_alignment
+
+    rng = np.random.default_rng(5)
+    names, seqs = simulate_alignment(50, 800, rng, gap_frac=0.03,
+                                     blen_scale=0.5)
+    codes, _ = batch_codes(seqs, encode_4bit_codes, pad_value=4)
+    D = orc.msa_distance_matrix(codes, 2)
+
+    b = 10
+    o = DCOracle(b, len(seqs))
+    o.run_dc(lambda i: D[i])
+    want = o.to_newick(names)
+
+    from dipper_tpu.dc import build_dc_tree
+
+    params = Param(distance_type=2, in_format="m", dtype="float64",
+                   backbone_size=b, batch_size=b)
+    got = build_dc_tree(seqs, names, params)
+    rf, nrf = rf_distance(got, want)
+    assert rf == 0, f"nRF={nrf}"
