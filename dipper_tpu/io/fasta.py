@@ -28,7 +28,13 @@ def _open_maybe_gzip(path: str) -> bytes:
 
 def read_fasta(path: str) -> Tuple[List[str], List[bytes]]:
     """Returns (names, seqs). Name = header up to first whitespace
-    (kseq semantics: kseq_read stops name at isspace)."""
+    (kseq semantics: kseq_read stops name at isspace). Uses the native
+    multithreaded reader (native/fastio.cpp) when built."""
+    from dipper_tpu.io.native import read_fasta_native
+
+    res = read_fasta_native(path)
+    if res is not None:
+        return res
     data = _open_maybe_gzip(path)
     names: List[str] = []
     seqs: List[bytes] = []

@@ -1,0 +1,63 @@
+"""Multi-device sharding: 8 virtual CPU devices (conftest)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dipper_tpu.parallel import (
+    make_mesh, sharded_placement_build, sharded_mash_matrix,
+)
+from dipper_tpu.placement import kclosest
+from dipper_tpu.distance.mash import (
+    rank_compress, pad_ranks, mash_distance_matrix_device,
+)
+from dipper_tpu.sketch.minhash import sketch_sequences
+from dipper_tpu.utils.treecmp import rf_distance
+
+from datagen import simulate_unaligned
+
+
+needs_multi = pytest.mark.skipif(
+    jax.device_count() < 2, reason="needs multiple devices")
+
+
+@needs_multi
+def test_sharded_mash_matrix_matches_single():
+    rng = np.random.default_rng(0)
+    names, seqs = simulate_unaligned(24, 800, rng)
+    k, ss = 12, 100
+    sk = sketch_sequences(seqs, k, ss)
+    want = np.array(mash_distance_matrix_device(sk, k, ss, dtype="float64"))
+    mesh = make_mesh()
+    ranks = pad_ranks(rank_compress(jnp.asarray(sk)))
+    got = np.array(jax.device_get(
+        sharded_mash_matrix(ranks, k, ss, mesh, dtype="float64")))
+    np.fill_diagonal(got, 0.0)
+    np.fill_diagonal(want, 0.0)
+    assert np.allclose(got, want, atol=1e-12)
+
+
+@needs_multi
+def test_sharded_placement_matches_single():
+    rng = np.random.default_rng(1)
+    names, seqs = simulate_unaligned(32, 1200, rng)
+    k, ss = 12, 120
+    sk = sketch_sequences(seqs, k, ss)
+    n = len(seqs)
+
+    # single-device reference
+    ranks = pad_ranks(rank_compress(jnp.asarray(sk)))
+    e1, b1, l1 = jax.device_get(kclosest.run_placement(
+        (ranks,), num_sequences=n, frontend="mash",
+        frontend_static=(k, ss), dtype_name="float64",
+    ))
+    want = kclosest.edges_to_newick(e1, b1, l1, names, n)
+
+    mesh = make_mesh()
+    e2, b2, l2 = sharded_placement_build(sk, k, ss, mesh, dtype="float64")
+    got = kclosest.edges_to_newick(e2, b2, l2, names, n)
+    rf, _ = rf_distance(got, want)
+    assert rf == 0
+    assert (np.asarray(e1) == np.asarray(e2)).all()
+    assert np.allclose(np.asarray(l1), np.asarray(l2), atol=1e-12)
