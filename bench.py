@@ -33,6 +33,8 @@ def main():
     # overrode it at the config level (see cli.py)
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dipper_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
     import jax.numpy as jnp
 

@@ -63,10 +63,15 @@ def main(argv=None) -> int:
     # (Library users control jax.config themselves.)
     import os
 
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
+    import jax
 
+    if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # persistent compile cache: repeated CLI runs skip XLA compilation
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DIPPER_CACHE_DIR",
+                                     "/tmp/dipper_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     args = build_parser().parse_args(argv)
     if args.add and not args.input_tree:
