@@ -60,15 +60,16 @@ def _phase2_chunk_mash(state: TreeState, ranks_pad, q_ids, *, k, sketch_size,
                        dtype_name, backbone_size):
     bank = ranks_pad[:backbone_size]
 
-    from dipper_tpu.distance.mash import mash_rows_vs_bank
+    from dipper_tpu.distance.mash import mash_pairwise
 
-    def one(q):
-        row = mash_rows_vs_bank(bank, ranks_pad[q], k=k,
-                                sketch_size=sketch_size, dtype_name=dtype_name)
+    rows = mash_pairwise(bank, ranks_pad[q_ids], k=k,
+                         sketch_size=sketch_size, dtype_name=dtype_name)
+
+    def one(row):
         eid, _, _ = kclosest.score_edges(state, row)
         return eid
 
-    return jax.vmap(one)(q_ids)
+    return jax.vmap(one)(rows)
 
 
 @functools.partial(jax.jit, static_argnames=("backbone_size",))
@@ -460,7 +461,8 @@ def _dc_pair_distances(frontend, params: Param, dtype_name, wit_global,
             queries = ranks[m_ids]
             return mash_pairwise(
                 bank, queries, k=params.kmer_size,
-                sketch_size=params.sketch_size, dtype_name=dtype_name)
+                sketch_size=params.sketch_size, dtype_name=dtype_name,
+                impl="xla")  # vmapped over clusters
 
         return jax.vmap(per_cluster)(wit, mem)
     else:

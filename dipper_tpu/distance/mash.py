@@ -111,9 +111,21 @@ def _pad_pow2(S: int) -> int:
 
 
 def mash_rows_vs_bank(bank_ranks, query_ranks, *, k: int, sketch_size: int,
-                      dtype_name: str):
+                      dtype_name: str, impl: str = "auto"):
     """bank_ranks int32 [Na, M] (the already-placed side, tag A),
-    query_ranks [M] (the new taxon, tag B) -> [Na] distances."""
+    query_ranks [M] (the new taxon, tag B) -> [Na] distances.
+
+    impl: 'auto' uses the VMEM-resident Pallas kernel on TPU; callers
+    that wrap this in vmap must pass 'xla'."""
+    if impl == "auto":
+        from dipper_tpu.distance.mash_pallas import (
+            use_pallas, mash_rows_vs_bank_pallas,
+        )
+
+        if use_pallas():
+            return mash_rows_vs_bank_pallas(
+                bank_ranks, query_ranks, k=k, sketch_size=sketch_size,
+                dtype_name=dtype_name)
     dtype = jnp.dtype(dtype_name)
     a_keys = bank_ranks * 2 + 1
     b_keys = jnp.broadcast_to((query_ranks * 2)[None, :], a_keys.shape)
@@ -122,28 +134,37 @@ def mash_rows_vs_bank(bank_ranks, query_ranks, *, k: int, sketch_size: int,
 
 
 def mash_pairwise(bank_ranks, query_ranks, *, k: int, sketch_size: int,
-                  dtype_name: str):
+                  dtype_name: str, impl: str = "auto"):
     """[Na, M] bank x [Nb, M] queries -> [Nb, Na] distances
     (d[q, a] = distance with a as the placed side)."""
+    if impl == "auto":
+        from dipper_tpu.distance.mash_pallas import (
+            use_pallas, mash_inter_pallas,
+        )
+
+        if use_pallas():
+            inter = mash_inter_pallas(
+                bank_ranks * 2 + 1, query_ranks * 2,
+                sketch_size=sketch_size)
+            return _inter_to_dist(inter, k, sketch_size,
+                                  jnp.dtype(dtype_name))
     f = lambda q: mash_rows_vs_bank(
-        bank_ranks, q, k=k, sketch_size=sketch_size, dtype_name=dtype_name)
+        bank_ranks, q, k=k, sketch_size=sketch_size, dtype_name=dtype_name,
+        impl="xla")
     return jax.vmap(f)(query_ranks)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "sketch_size", "dtype_name"))
 def mash_row_from_ranks(ranks_pad, row_id, *, k: int, sketch_size: int,
                         dtype_name: str):
-    """ranks_pad int32 [N, M] (M = pow2 >= sketch_size, rows ascending,
-    pad slots = (PAD_KEY-?)/...); row_id scalar. Returns [N] distances of
-    taxon row_id vs every taxon (junk beyond j != row_id semantics; the
-    caller masks j >= row_id). A = old taxon j, B = the new row."""
-    dtype = jnp.dtype(dtype_name)
-    a_keys = ranks_pad * 2 + 1          # [N, M]
-    b = jax.lax.dynamic_index_in_dim(ranks_pad, row_id, axis=0, keepdims=True)
-    b_keys = b * 2                      # [1, M] broadcasts
-    inter = _merged_inter_count(a_keys, jnp.broadcast_to(b_keys, a_keys.shape),
-                                sketch_size)
-    return _inter_to_dist(inter, k, sketch_size, dtype)
+    """ranks_pad int32 [N, M] (M = pow2 >= sketch_size, rows ascending);
+    row_id scalar. Returns [N] distances of taxon row_id vs every taxon
+    (junk beyond j != row_id semantics; the caller masks j >= row_id).
+    A = old taxon j, B = the new row."""
+    b = jax.lax.dynamic_index_in_dim(ranks_pad, row_id, axis=0,
+                                     keepdims=False)
+    return mash_rows_vs_bank(ranks_pad, b, k=k, sketch_size=sketch_size,
+                             dtype_name=dtype_name)
 
 
 def pad_ranks(ranks: jnp.ndarray) -> jnp.ndarray:
@@ -176,9 +197,27 @@ def _mash_matrix_jit(ranks_pad, *, k, sketch_size, dtype_name, block):
 
 def mash_distance_matrix_device(sketches_u64: np.ndarray, k: int,
                                 sketch_size: int, dtype="float32") -> np.ndarray:
-    """Full symmetric [N, N] mash distance matrix."""
+    """Full symmetric [N, N] mash distance matrix. The reference fills
+    row i for j < i and mirrors (fillDismatrix, neighborJoining.cu:20);
+    the batched path computes both orientations and keeps the lower
+    triangle, which is identical."""
+    from dipper_tpu.distance.mash_pallas import use_pallas
+
     sk = jnp.asarray(sketches_u64)
     ranks = pad_ranks(rank_compress(sk))
+    N = ranks.shape[0]
+    dtype_name = str(jnp.dtype(dtype))
+    if use_pallas():
+        out = np.zeros((N, N), dtype=np.float64)
+        chunk = 512
+        for s in range(0, N, chunk):
+            e = min(N, s + chunk)
+            blk = mash_pairwise(ranks, ranks[s:e], k=k,
+                                sketch_size=sketch_size,
+                                dtype_name=dtype_name)
+            out[s:e] = np.asarray(jax.device_get(blk), dtype=np.float64)
+        D = np.tril(out, -1)
+        return D + D.T
     D = _mash_matrix_jit(ranks, k=k, sketch_size=sketch_size,
-                         dtype_name=str(jnp.dtype(dtype)), block=0)
+                         dtype_name=dtype_name, block=0)
     return np.asarray(jax.device_get(D), dtype=np.float64)

@@ -73,7 +73,7 @@ def sharded_mash_matrix(ranks_pad, k: int, sketch_size: int, mesh: Mesh,
         def row(q_local):
             return mash_rows_vs_bank(
                 bank_full, bank_local[q_local], k=k,
-                sketch_size=sketch_size, dtype_name=dtype_name)
+                sketch_size=sketch_size, dtype_name=dtype_name, impl="xla")
 
         rows = jax.lax.map(row, jnp.arange(bank_local.shape[0]))
         return rows.T  # [N_full, rows_local] -> concat over 'd' on axis 1
@@ -123,7 +123,7 @@ def _sharded_placement_jit(ranks_sharded, *, num_sequences, k, sketch_size,
             qr = query_ranks(q)
             local = mash_rows_vs_bank(bank_local, qr, k=k,
                                       sketch_size=sketch_size,
-                                      dtype_name=dtype_name)
+                                      dtype_name=dtype_name, impl="xla")
             return jax.lax.all_gather(local, "d", tiled=True)[:N]
 
         def score_sharded(st, row):
