@@ -40,8 +40,9 @@ def main():
 
     from dipper_tpu.sketch.minhash import sketch_sequences
     from dipper_tpu.distance.mash import (
-        rank_compress, pad_ranks, _mash_matrix_jit,
+        rank_compress, pad_ranks, mash_pairwise,
     )
+    import functools
 
     rng = np.random.default_rng(0)
     t0 = time.time()
@@ -59,17 +60,18 @@ def main():
     ranks = pad_ranks(rank_compress(jnp.asarray(sk)))
     ranks.block_until_ready()
 
-    # warmup (compile)
-    D = _mash_matrix_jit(ranks, k=k, sketch_size=ss,
-                         dtype_name="float32", block=0)
-    D.block_until_ready()
+    # full pairwise block computation, chunked (the NJ-frontend shape)
+    chunk = min(512, n)
+    pw = jax.jit(functools.partial(
+        mash_pairwise, k=k, sketch_size=ss, dtype_name="float32"))
+    pw(ranks, ranks[:chunk]).block_until_ready()  # warmup (compile)
     t0 = time.time()
-    D = _mash_matrix_jit(ranks, k=k, sketch_size=ss,
-                         dtype_name="float32", block=0)
-    D.block_until_ready()
+    for s in range(0, n, chunk):
+        blk = pw(ranks, ranks[s:s + chunk])
+    blk.block_until_ready()
     dt = time.time() - t0
-    pairs = n * (n - 1)  # row loop computes j<i then mirrors; count both
-    rate = (pairs / 2) / dt
+    pairs = n * n
+    rate = pairs / dt
     print(f"[bench] {pairs//2} pairwise distances in {dt:.2f}s",
           file=sys.stderr)
 

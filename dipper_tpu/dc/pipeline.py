@@ -462,7 +462,7 @@ def _dc_pair_distances(frontend, params: Param, dtype_name, wit_global,
             return mash_pairwise(
                 bank, queries, k=params.kmer_size,
                 sketch_size=params.sketch_size, dtype_name=dtype_name,
-                impl="xla")  # vmapped over clusters
+                impl="vmap")  # small witness banks; vmapped over clusters
 
         return jax.vmap(per_cluster)(wit, mem)
     else:

@@ -136,22 +136,25 @@ def mash_rows_vs_bank(bank_ranks, query_ranks, *, k: int, sketch_size: int,
 def mash_pairwise(bank_ranks, query_ranks, *, k: int, sketch_size: int,
                   dtype_name: str, impl: str = "auto"):
     """[Na, M] bank x [Nb, M] queries -> [Nb, Na] distances
-    (d[q, a] = distance with a as the placed side)."""
-    if impl == "auto":
-        from dipper_tpu.distance.mash_pallas import (
-            use_pallas, mash_inter_pallas,
-        )
+    (d[q, a] = distance with a as the placed side).
 
-        if use_pallas():
-            inter = mash_inter_pallas(
-                bank_ranks * 2 + 1, query_ranks * 2,
-                sketch_size=sketch_size)
-            return _inter_to_dist(inter, k, sketch_size,
-                                  jnp.dtype(dtype_name))
+    impl 'auto': sequential lax.map over queries — each row's merge
+    already saturates the VPU and vmapping would materialize
+    [Q, Na, 2M] intermediates (OOM at scale). 'vmap' batches (fine for
+    small banks, e.g. per-cluster witness sets). 'pallas' uses the
+    experimental VMEM kernel."""
+    if impl == "pallas":
+        from dipper_tpu.distance.mash_pallas import mash_inter_pallas
+
+        inter = mash_inter_pallas(
+            bank_ranks * 2 + 1, query_ranks * 2, sketch_size=sketch_size)
+        return _inter_to_dist(inter, k, sketch_size, jnp.dtype(dtype_name))
     f = lambda q: mash_rows_vs_bank(
         bank_ranks, q, k=k, sketch_size=sketch_size, dtype_name=dtype_name,
         impl="xla")
-    return jax.vmap(f)(query_ranks)
+    if impl == "vmap":
+        return jax.vmap(f)(query_ranks)
+    return jax.lax.map(f, query_ranks)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "sketch_size", "dtype_name"))
@@ -201,23 +204,21 @@ def mash_distance_matrix_device(sketches_u64: np.ndarray, k: int,
     row i for j < i and mirrors (fillDismatrix, neighborJoining.cu:20);
     the batched path computes both orientations and keeps the lower
     triangle, which is identical."""
-    from dipper_tpu.distance.mash_pallas import use_pallas
-
     sk = jnp.asarray(sketches_u64)
     ranks = pad_ranks(rank_compress(sk))
     N = ranks.shape[0]
     dtype_name = str(jnp.dtype(dtype))
-    if use_pallas():
-        out = np.zeros((N, N), dtype=np.float64)
-        chunk = 512
-        for s in range(0, N, chunk):
-            e = min(N, s + chunk)
-            blk = mash_pairwise(ranks, ranks[s:e], k=k,
-                                sketch_size=sketch_size,
-                                dtype_name=dtype_name)
-            out[s:e] = np.asarray(jax.device_get(blk), dtype=np.float64)
-        D = np.tril(out, -1)
-        return D + D.T
-    D = _mash_matrix_jit(ranks, k=k, sketch_size=sketch_size,
-                         dtype_name=dtype_name, block=0)
-    return np.asarray(jax.device_get(D), dtype=np.float64)
+    out = np.zeros((N, N), dtype=np.float64)
+    chunk = 512
+    pw = jax.jit(functools.partial(
+        mash_pairwise, k=k, sketch_size=sketch_size, dtype_name=dtype_name))
+    for s in range(0, N, chunk):
+        e = min(N, s + chunk)
+        q = ranks[s:e]
+        if e - s < chunk:  # pad the tail chunk: one compile total
+            q = jnp.concatenate(
+                [q, jnp.tile(q[-1:], (chunk - (e - s), 1))], axis=0)
+        blk = pw(ranks, q)[: e - s]
+        out[s:e] = np.asarray(jax.device_get(blk), dtype=np.float64)
+    D = np.tril(out, -1)
+    return D + D.T

@@ -33,17 +33,17 @@ _BIG = 2**30  # python int: jnp scalars would close over the kernel as
 
 
 def use_pallas() -> bool:
-    v = os.environ.get("DIPPER_PALLAS", "auto")
-    if v == "1":
-        return True
-    if v == "0":
-        return False
-    return jax.default_backend() == "tpu"
+    """Opt-in only: measured on v5e, XLA's fused row path reaches
+    ~35M pairs/s while this kernel's lane-crossing rolls run ~20x
+    slower. Kept for further tuning (sublane-friendly merge layout)."""
+    return os.environ.get("DIPPER_PALLAS", "0") == "1"
 
 
 def _roll(x, shift):
+    # shift pinned to int32: under x64 a python-int shift becomes an i64
+    # scalar, which tpu.dynamic_rotate rejects
     n = x.shape[1]
-    return pltpu.roll(x, shift=shift % n, axis=1)
+    return pltpu.roll(x, shift=jnp.int32(shift % n), axis=1)
 
 
 def _merge_count_kernel(sketch_size: int, M2: int, R: int):
@@ -66,27 +66,33 @@ def _merge_count_kernel(sketch_size: int, M2: int, R: int):
 
         tag_a = (x & 1) == 1
         val = x >> 1
+        big = jnp.full((R, M2), _BIG, jnp.int32)
         # reverse running-min of a-values => nearest a value at-or-after
-        m = jnp.where(tag_a, val, _BIG)
+        m = jnp.where(tag_a, val, big)
         s = 1
         while s < M2:
-            shifted = jnp.where(pos < M2 - s, _roll(m, -s), _BIG)
+            shifted = jnp.where(pos < M2 - s, _roll(m, -s), big)
             m = jnp.minimum(m, shifted)
             s *= 2
         matched_b = (~tag_a) & (m == val)
 
         # running sum of uni increments (exclusive prefix)
-        inc = jnp.where(matched_b, 0, 1).astype(jnp.int32)
+        # NB: no bool->int astype — Mosaic's convert lowering recurses
+        zero = jnp.zeros((R, M2), jnp.int32)
+        one = jnp.ones((R, M2), jnp.int32)
+        inc = jnp.where(matched_b, zero, one)
         c = inc
         s = 1
         while s < M2:
-            shifted = jnp.where(pos >= s, _roll(c, s), 0)
+            shifted = jnp.where(pos >= s, _roll(c, s), zero)
             c = c + shifted
             s *= 2
         cum_before = c - inc
+        # dtype pinned: under x64, jnp.sum promotes int32 -> int64,
+        # which Mosaic cannot lower
         inter = jnp.sum(
-            (matched_b & (cum_before < sketch_size)).astype(jnp.int32),
-            axis=1,
+            jnp.where(matched_b & (cum_before < sketch_size), one, zero),
+            axis=1, dtype=jnp.int32,
         )
         out_ref[:] = inter.reshape(1, R)
 
@@ -114,20 +120,24 @@ def mash_inter_pallas(bank_keys, query_keys, *, sketch_size: int,
     M2 = 2 * M
     qrev = query_keys[:, ::-1]
 
-    out = pl.pallas_call(
-        _merge_count_kernel(sketch_size, M2, R),
-        grid=(Q, Np // R),
-        in_specs=[
-            pl.BlockSpec((R, M), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, R), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Q, Np), jnp.int32),
-        interpret=interpret,
-    )(bank_keys, qrev)
+    # x64 tracing mode leaks i64 scalars into Mosaic lowering (grid
+    # indices, weak constants) and crashes the TPU compile; the kernel
+    # is pure int32, so trace it with x64 off.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _merge_count_kernel(sketch_size, M2, R),
+            grid=(Q, Np // R),
+            in_specs=[
+                pl.BlockSpec((R, M), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, M), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, R), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Q, Np), jnp.int32),
+            interpret=interpret,
+        )(bank_keys, qrev)
     out = out[:, :N]
     return out[0] if single else out
 
@@ -144,3 +154,96 @@ def mash_rows_vs_bank_pallas(bank_ranks, query_ranks, *, k: int,
         interpret=interpret,
     )
     return _inter_to_dist(inter, k, sketch_size, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Transposed variant: merge axis on SUBLANES, pairs on LANES.
+# Lane-crossing rotates on a 2048-wide lane axis proved as slow as the
+# XLA path; with the merge axis on sublanes each roll is a register
+# shuffle and 128 pairs progress per lane-step.
+# ---------------------------------------------------------------------------
+
+
+def _rollT(x, shift):
+    n = x.shape[0]
+    return pltpu.roll(x, shift=jnp.int32(shift % n), axis=0)
+
+
+def _merge_count_kernel_T(sketch_size: int, M2: int, PP: int):
+    def kernel(bankT_ref, qrevT_ref, out_ref):
+        a = bankT_ref[:]                       # [M, PP] keys 2r+1 (cols sorted)
+        b = qrevT_ref[:]                       # [M, 1] reversed keys 2r
+        x = jnp.concatenate(
+            [a, jnp.broadcast_to(b, (b.shape[0], PP))], axis=0
+        )                                      # [M2, PP] bitonic per column
+        pos = jax.lax.broadcasted_iota(jnp.int32, (M2, PP), 0)
+
+        d = M2 // 2
+        while d >= 1:
+            up = _rollT(x, -d)
+            dn = _rollT(x, d)
+            low_half = (pos & d) == 0
+            x = jnp.where(low_half, jnp.minimum(x, up), jnp.maximum(x, dn))
+            d //= 2
+
+        tag_a = (x & 1) == 1
+        val = x >> 1
+        big = jnp.full((M2, PP), _BIG, jnp.int32)
+        m = jnp.where(tag_a, val, big)
+        s = 1
+        while s < M2:
+            shifted = jnp.where(pos < M2 - s, _rollT(m, -s), big)
+            m = jnp.minimum(m, shifted)
+            s *= 2
+        matched_b = (~tag_a) & (m == val)
+
+        zero = jnp.zeros((M2, PP), jnp.int32)
+        one = jnp.ones((M2, PP), jnp.int32)
+        inc = jnp.where(matched_b, zero, one)
+        c = inc
+        s = 1
+        while s < M2:
+            shifted = jnp.where(pos >= s, _rollT(c, s), zero)
+            c = c + shifted
+            s *= 2
+        cum_before = c - inc
+        inter = jnp.sum(
+            jnp.where(matched_b & (cum_before < sketch_size), one, zero),
+            axis=0, dtype=jnp.int32,
+        )
+        out_ref[:] = inter.reshape(1, PP)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("sketch_size", "pair_block",
+                                             "interpret"))
+def mash_inter_pallas_T(bankT_keys, qrevT_keys, *, sketch_size: int,
+                        pair_block: int = 128, interpret: bool = False):
+    """bankT_keys int32 [M, N] (transposed bank, keys 2r+1, each column
+    ascending), qrevT_keys int32 [M, Q] (queries transposed, keys 2r,
+    each column DESCENDING i.e. pre-reversed). Returns [Q, N] inter."""
+    M, N = bankT_keys.shape
+    Q = qrevT_keys.shape[1]
+    PP = pair_block
+    pad = (-N) % PP
+    if pad:
+        bankT_keys = jnp.concatenate(
+            [bankT_keys, jnp.tile(bankT_keys[:, -1:], (1, pad))], axis=1)
+    Np = bankT_keys.shape[1]
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _merge_count_kernel_T(sketch_size, 2 * M, PP),
+            grid=(Q, Np // PP),
+            in_specs=[
+                pl.BlockSpec((M, PP), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, 1), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, PP), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Q, Np), jnp.int32),
+            interpret=interpret,
+        )(bankT_keys, qrevT_keys)
+    return out[:, :N]

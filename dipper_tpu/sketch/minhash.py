@@ -35,66 +35,147 @@ from dipper_tpu.io.encode import encode_2bit_codes
 
 SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
-_C1 = jnp.uint64(0x87C37B91114253D5)
-_C2 = jnp.uint64(0x4CF5AD432745937F)
-_F1 = jnp.uint64(0xFF51AFD7ED558CCD)
-_F2 = jnp.uint64(0xC4CEB9FE1A85EC53)
-_ASCII = jnp.array([65, 67, 71, 84], dtype=jnp.uint64)  # 'A' 'C' 'G' 'T'
+_ASCII = jnp.array([65, 67, 71, 84], dtype=jnp.uint32)  # 'A' 'C' 'G' 'T'
+
+# --- 64-bit arithmetic on explicit u32 limb pairs (hi, lo) ---------------
+# TPUs have no native u64; XLA's emulation compiles each u64 multiply
+# into a huge subgraph (a single unrolled murmur graph took >8 min to
+# compile). Hand-rolled u32 limbs keep the graph tiny and native.
+
+_C1 = (0x87C37B91, 0x114253D5)
+_C2 = (0x4CF5AD43, 0x2745937F)
+_F1 = (0xFF51AFD7, 0xED558CCD)
+_F2 = (0xC4CEB9FE, 0x1A85EC53)
 
 
-def _rotl64(x, r: int):
-    return (x << jnp.uint64(r)) | (x >> jnp.uint64(64 - r))
+def _u32(c):
+    return jnp.uint32(c)
+
+
+def _xor(a, b):
+    return (a[0] ^ b[0], a[1] ^ b[1])
+
+
+def _add64(a, b):
+    lo = a[1] + b[1]
+    carry = jnp.where(lo < b[1], _u32(1), _u32(0))
+    return (a[0] + b[0] + carry, lo)
+
+
+def _shr64(a, r: int):
+    hi, lo = a
+    if r == 0:
+        return a
+    if r < 32:
+        return (hi >> _u32(r), (lo >> _u32(r)) | (hi << _u32(32 - r)))
+    if r == 32:
+        return (jnp.zeros_like(hi), hi)
+    return (jnp.zeros_like(hi), hi >> _u32(r - 32))
+
+
+def _shl64(a, r: int):
+    hi, lo = a
+    if r == 0:
+        return a
+    if r < 32:
+        return ((hi << _u32(r)) | (lo >> _u32(32 - r)), lo << _u32(r))
+    if r == 32:
+        return (lo, jnp.zeros_like(lo))
+    return (lo << _u32(r - 32), jnp.zeros_like(lo))
+
+
+def _rotl64(a, r: int):
+    hi1, lo1 = _shl64(a, r)
+    hi2, lo2 = _shr64(a, 64 - r)
+    return (hi1 | hi2, lo1 | lo2)
+
+
+def _mul32_full(x, y):
+    """u32 * u32 -> (hi, lo) u64 product via 16-bit halves."""
+    m16 = _u32(0xFFFF)
+    xl = x & m16
+    xh = x >> _u32(16)
+    yl = y & m16
+    yh = y >> _u32(16)
+    ll = xl * yl
+    lh = xl * yh
+    hl = xh * yl
+    hh = xh * yh
+    mid = lh + (ll >> _u32(16))            # < 2^32, no overflow
+    mid2 = hl + (mid & m16)                # < 2^32, no overflow
+    hi = hh + (mid >> _u32(16)) + (mid2 >> _u32(16))
+    lo = (mid2 << _u32(16)) | (ll & m16)
+    return hi, lo
+
+
+def _mul64(a, c):
+    """(hi, lo) * constant (chi, clo) mod 2^64."""
+    chi, clo = _u32(c[0]), _u32(c[1])
+    hi, lo = _mul32_full(a[1], clo)
+    hi = hi + a[1] * chi + a[0] * clo
+    return (hi, lo)
 
 
 def _fmix64(k):
-    k = k ^ (k >> jnp.uint64(33))
-    k = k * _F1
-    k = k ^ (k >> jnp.uint64(33))
-    k = k * _F2
-    k = k ^ (k >> jnp.uint64(33))
+    k = _xor(k, _shr64(k, 33))
+    k = _mul64(k, _F1)
+    k = _xor(k, _shr64(k, 33))
+    k = _mul64(k, _F2)
+    k = _xor(k, _shr64(k, 33))
     return k
 
 
-def murmur3_low64_tail(k1, k2, klen: int):
+def _murmur_tail_u32(k1, k2, klen: int):
     """MurmurHash3_x64_128 low 64 bits for keys of length klen in
-    [1, 15], given the two little-endian u64 key words (k2 = bytes
-    8..14, zero if klen <= 8). Vectorized over arrays."""
+    [1, 15]; k1/k2 are (hi, lo) u32 pairs of the little-endian key
+    words. Returns (hi, lo)."""
     assert 1 <= klen <= 15
-    h1 = jnp.uint64(42) * jnp.ones_like(k1)
-    h2 = jnp.uint64(42) * jnp.ones_like(k1)
+    z = jnp.zeros_like(k1[0])
+    h1 = (z, z | _u32(42))
+    h2 = (z, z | _u32(42))
     if klen > 8:
-        kk2 = k2 * _C2
+        kk2 = _mul64(k2, _C2)
         kk2 = _rotl64(kk2, 33)
-        kk2 = kk2 * _C1
-        h2 = h2 ^ kk2
-    kk1 = k1 * _C1
+        kk2 = _mul64(kk2, _C1)
+        h2 = _xor(h2, kk2)
+    kk1 = _mul64(k1, _C1)
     kk1 = _rotl64(kk1, 31)
-    kk1 = kk1 * _C2
-    h1 = h1 ^ kk1
-    h1 = h1 ^ jnp.uint64(klen)
-    h2 = h2 ^ jnp.uint64(klen)
-    h1 = h1 + h2
-    h2 = h2 + h1
+    kk1 = _mul64(kk1, _C2)
+    h1 = _xor(h1, kk1)
+    h1 = (h1[0], h1[1] ^ _u32(klen))
+    h2 = (h2[0], h2[1] ^ _u32(klen))
+    h1 = _add64(h1, h2)
+    h2 = _add64(h2, h1)
     h1 = _fmix64(h1)
     h2 = _fmix64(h2)
-    h1 = h1 + h2
+    h1 = _add64(h1, h2)
     return h1
+
+
+def murmur3_low64_tail(k1, k2, klen: int):
+    """u64-interface wrapper (used by tests): k1/k2 little-endian u64
+    key words -> low-64 hash as u64."""
+    split = lambda x: ((x >> jnp.uint64(32)).astype(jnp.uint32),
+                      (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+    hi, lo = _murmur_tail_u32(split(k1), split(k2), klen)
+    return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
 
 
 def _canonical_kmers(codes, k: int):
     """codes: uint8 [B, L] 2-bit codes. Returns canonical k-mers in
-    MSB-first (lexicographic) form, uint64 [B, L-k+1]."""
+    MSB-first (lexicographic) form, uint32 [B, L-k+1] (2k <= 30 bits)."""
+    assert k <= 15
     B, L = codes.shape
     P = L - k + 1
-    c64 = codes.astype(jnp.uint64)
-    fwd_lex = jnp.zeros((B, P), jnp.uint64)
-    fwd_lsb = jnp.zeros((B, P), jnp.uint64)
+    c32 = codes.astype(jnp.uint32)
+    fwd_lex = jnp.zeros((B, P), jnp.uint32)
+    fwd_lsb = jnp.zeros((B, P), jnp.uint32)
     for i in range(k):
-        c = c64[:, i : i + P]
+        c = c32[:, i : i + P]
         # lex (MSB-first) form: window position i at bit 2*(k-1-i)
-        fwd_lex = fwd_lex | (c << jnp.uint64(2 * (k - 1 - i)))
-        fwd_lsb = fwd_lsb | (c << jnp.uint64(2 * i))
-    mask = jnp.uint64((1 << (2 * k)) - 1)
+        fwd_lex = fwd_lex | (c << jnp.uint32(2 * (k - 1 - i)))
+        fwd_lsb = fwd_lsb | (c << jnp.uint32(2 * i))
+    mask = jnp.uint32((1 << (2 * k)) - 1)
     # reverse complement in lex form: rev_lex_i = 3 - b_{k-1-i}, i.e.
     # sum_m (3-b_m) << 2m = bitwise complement of the LSB-first form
     rev_lex = (~fwd_lsb) & mask
@@ -103,34 +184,54 @@ def _canonical_kmers(codes, k: int):
 
 def _kmer_key_words(canon, k: int):
     """Canonical k-mer (lex form) -> little-endian murmur key words of
-    the ASCII character string."""
+    the ASCII character string, as u32 limb pairs (hi, lo)."""
     z = jnp.zeros_like(canon)
-    k1 = z
-    k2 = z
+    k1lo = z
+    k1hi = z
+    k2lo = z
+    k2hi = z
     for i in range(k):
-        code = ((canon >> jnp.uint64(2 * (k - 1 - i))) & jnp.uint64(3)).astype(jnp.int32)
+        code = ((canon >> jnp.uint32(2 * (k - 1 - i))) & jnp.uint32(3)) \
+            .astype(jnp.int32)
         b = jnp.take(_ASCII, code)
-        if i < 8:
-            k1 = k1 | (b << jnp.uint64(8 * i))
+        if i < 4:
+            k1lo = k1lo | (b << jnp.uint32(8 * i))
+        elif i < 8:
+            k1hi = k1hi | (b << jnp.uint32(8 * (i - 4)))
+        elif i < 12:
+            k2lo = k2lo | (b << jnp.uint32(8 * (i - 8)))
         else:
-            k2 = k2 | (b << jnp.uint64(8 * (i - 8)))
-    return k1, k2
+            k2hi = k2hi | (b << jnp.uint32(8 * (i - 12)))
+    return (k1hi, k1lo), (k2hi, k2lo)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "sketch_size"))
 def sketch_batch_device(codes, lengths, *, k: int, sketch_size: int):
     """codes uint8 [B, L] (padded), lengths int32 [B] ->
-    sorted uint64 sketches [B, sketch_size] (sentinel-padded)."""
+    sorted uint64 sketches [B, sketch_size] (sentinel-padded).
+
+    Everything up to the final combine runs in native u32 (limb
+    murmur, two-key sort); only the [B, sketch_size] output is u64."""
     B, L = codes.shape
     P = L - k + 1
     canon = _canonical_kmers(codes, k)
     k1, k2 = _kmer_key_words(canon, k)
-    h = murmur3_low64_tail(k1, k2, k)
+    hi, lo = _murmur_tail_u32(k1, k2, k)
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
     valid = pos <= (lengths[:, None] - k)
-    h = jnp.where(valid, h, SENTINEL)
-    h = jnp.sort(h, axis=1)
-    return h[:, :sketch_size]
+    sent = jnp.uint32(0xFFFFFFFF)
+    hi = jnp.where(valid, hi, sent)
+    lo = jnp.where(valid, lo, sent)
+    hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2, dimension=1)
+    if P < sketch_size:  # short sequences: sentinel-pad to sketch_size
+        padw = sketch_size - P
+        spad = jnp.full((B, padw), sent, jnp.uint32)
+        hi_s = jnp.concatenate([hi_s, spad], axis=1)
+        lo_s = jnp.concatenate([lo_s, spad], axis=1)
+    hi_s = hi_s[:, :sketch_size]
+    lo_s = lo_s[:, :sketch_size]
+    return (hi_s.astype(jnp.uint64) << jnp.uint64(32)) | \
+        lo_s.astype(jnp.uint64)
 
 
 def sketch_sequences(seqs, k: int, sketch_size: int = 1000,
