@@ -77,6 +77,10 @@ def main(argv=None) -> int:
     if args.add and not args.input_tree:
         print("ERROR: --input-tree/-t is required with --add", file=sys.stderr)
         return 1
+    for path in filter(None, [args.input_file, args.input_tree]):
+        if not os.path.exists(path):
+            print(f"ERROR: cannot open file: {path}", file=sys.stderr)
+            return 1
 
     from dipper_tpu.utils.params import Param, PLACEMENT_THRESHOLD, DC_THRESHOLD
 

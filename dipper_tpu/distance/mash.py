@@ -199,26 +199,22 @@ def _mash_matrix_jit(ranks_pad, *, k, sketch_size, dtype_name, block):
 
 
 def mash_distance_matrix_device(sketches_u64: np.ndarray, k: int,
-                                sketch_size: int, dtype="float32") -> np.ndarray:
-    """Full symmetric [N, N] mash distance matrix. The reference fills
-    row i for j < i and mirrors (fillDismatrix, neighborJoining.cu:20);
-    the batched path computes both orientations and keeps the lower
-    triangle, which is identical."""
+                                sketch_size: int, dtype="float32"):
+    """Full symmetric [N, N] mash distance matrix as a DEVICE array.
+    The reference fills row i for j < i and mirrors (fillDismatrix,
+    neighborJoining.cu:20); the batched path computes both orientations
+    and keeps the lower triangle, which is identical."""
     sk = jnp.asarray(sketches_u64)
     ranks = pad_ranks(rank_compress(sk))
     N = ranks.shape[0]
     dtype_name = str(jnp.dtype(dtype))
-    out = np.zeros((N, N), dtype=np.float64)
-    chunk = 512
+    chunk = min(512, N)
     pw = jax.jit(functools.partial(
         mash_pairwise, k=k, sketch_size=sketch_size, dtype_name=dtype_name))
+    out = jnp.zeros((N, N), jnp.dtype(dtype))
     for s in range(0, N, chunk):
-        e = min(N, s + chunk)
-        q = ranks[s:e]
-        if e - s < chunk:  # pad the tail chunk: one compile total
-            q = jnp.concatenate(
-                [q, jnp.tile(q[-1:], (chunk - (e - s), 1))], axis=0)
-        blk = pw(ranks, q)[: e - s]
-        out[s:e] = np.asarray(jax.device_get(blk), dtype=np.float64)
-    D = np.tril(out, -1)
+        s0 = min(s, N - chunk)  # full-size block, recompute overlap
+        blk = pw(ranks, ranks[s0:s0 + chunk])
+        out = jax.lax.dynamic_update_slice(out, blk, (s0, 0))
+    D = jnp.tril(out, -1)
     return D + D.T

@@ -110,9 +110,12 @@ def _pad_rows(x: np.ndarray, block: int):
 
 
 def msa_distance_matrix_device(
-    codes: np.ndarray, distance_type: int, dtype="float32", row_block: int = 512
-) -> np.ndarray:
-    """Full [N, N] distance matrix (symmetric, zero diagonal).
+    codes: np.ndarray, distance_type: int, dtype="float32",
+    row_block: int = 512
+):
+    """Full [N, N] distance matrix (symmetric, zero diagonal) as a
+    DEVICE array — downstream consumers (NJ) run on device, and host
+    round-trips dominate when the chip sits behind a network tunnel.
 
     Orientation note: the count matrix P uses a = row-side code
     ('ec' = tarRowId in the reference) and b = column-side ('et'); every
@@ -125,14 +128,17 @@ def msa_distance_matrix_device(
 
     phi_d = jnp.asarray(phi)
     nongap_d = jnp.asarray(nongap, jnp.dtype(dtype))
-    out = np.zeros((N, N), dtype=np.float64)
-    for s in range(0, N, row_block):
-        e = min(N, s + row_block)
+    rb = min(row_block, N)
+    out = jnp.zeros((N, N), jnp.dtype(dtype))
+    for s in range(0, N, rb):
+        e = min(N, s + rb)
+        s0 = min(s, N - rb)  # full-size block, recompute overlap
         blk = _block_distance(
-            phi_d[s:e], phi_d, nongap_d[s:e], nongap_d,
+            phi_d[s0:s0 + rb], phi_d, nongap_d[s0:s0 + rb], nongap_d,
             distance_type=distance_type, dtype_name=str(jnp.dtype(dtype)),
             seq_len=L,
         )
-        out[s:e, :] = np.asarray(jax.device_get(blk), dtype=np.float64)
-    np.fill_diagonal(out, 0.0)
+        out = jax.lax.dynamic_update_slice(out, blk, (s0, 0))
+    iot = jnp.arange(N)
+    out = jnp.where(iot[:, None] == iot[None, :], 0.0, out)
     return out
