@@ -41,7 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--input-format", required=True, choices=["d", "r", "m"])
     p.add_argument("-I", "--input-file", required=True)
     p.add_argument("-O", "--output-file", required=True)
-    p.add_argument("-o", "--output-format", default="t", choices=["t"])
+    p.add_argument("-o", "--output-format", default="t", choices=["t", "d"],
+                   help="t = Newick tree; d = PHYLIP distance matrix "
+                        "(the reference lists this as 'coming soon')")
     p.add_argument("-m", "--algorithm", default=None, choices=["0", "1", "2", "3"])
     p.add_argument("-p", "--placement-mode", default=None, choices=["0", "1"])
     p.add_argument("-k", "--kmer-size", type=int, default=15)

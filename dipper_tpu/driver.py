@@ -96,6 +96,17 @@ def _run_sequences(params: Param, algo: str, placemode: str, args, out_path: str
     names, seqs = _load_sequences(params, args.input_file)
     n = len(seqs)
     _log(f"Input in: {int((time.time() - t0) * 1000)} ms")
+
+    if params.out_format == "d":
+        # distance-matrix output (listed as "coming soon" in the
+        # reference docs; implemented here)
+        import numpy as np
+        from dipper_tpu.io.phylip import write_phylip_lower_triangular
+
+        D = np.asarray(_distance_matrix(params, seqs), dtype=np.float64)
+        write_phylip_lower_triangular(names, D, out_path)
+        return
+
     mode = _choose_mode(algo, n)
 
     if mode == "nj":
