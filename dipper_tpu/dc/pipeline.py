@@ -254,15 +254,19 @@ def build_dc_tree(seqs, names, params: Param, matrix=None) -> str:
         backbone_args = ((ranks[:B],), (params.kmer_size, params.sketch_size))
         frontend = "mash"
     elif params.in_format == "m":
+        # host-bank streaming (reference pattern: dc/msa.cu keeps the
+        # full 4-bit matrix host-side and stages batches): only the
+        # backbone channels live on device permanently; query chunks
+        # and per-cluster gathers upload on demand.
         from dipper_tpu.distance.msa import build_channels
         from dipper_tpu.io.encode import batch_codes, encode_4bit_codes
 
         codes, _ = batch_codes(seqs, encode_4bit_codes, pad_value=4)
-        phi_np = build_channels(codes)
-        nongap_np = phi_np[:, 4, :].sum(axis=1)
-        phi = jnp.asarray(phi_np)
-        nongap = jnp.asarray(nongap_np, dtype)
-        backbone_args = ((phi[:B], nongap[:B]), (params.distance_type,))
+        phi_host = build_channels(codes)                    # host bank
+        nongap_host = phi_host[:, 4, :].sum(axis=1)
+        phi_bb = jnp.asarray(phi_host[:B])
+        nongap_bb = jnp.asarray(nongap_host[:B], dtype)
+        backbone_args = ((phi_bb, nongap_bb), (params.distance_type,))
         frontend = "msa"
     else:
         raise SystemExit(
@@ -279,10 +283,13 @@ def build_dc_tree(seqs, names, params: Param, matrix=None) -> str:
     # ---- Phase 2: cluster assignment
     _log("DC phase 2: cluster assignment")
     cluster_id = np.empty(N, dtype=np.int64)
-    chunk = 256
+    chunk = min(256, N - B)
     for s in range(B, N, chunk):
-        qe = min(N, s + chunk)
-        q_ids = jnp.arange(s, qe)
+        # full-size chunks only (recompute overlap at the tail): one
+        # compile for the whole phase
+        s0 = min(s, N - chunk)
+        qe = s0 + chunk
+        q_ids = jnp.arange(s0, qe)
         if frontend == "matrix":
             eids = _phase2_chunk_matrix(state, Dm, q_ids, backbone_size=B)
         elif frontend == "mash":
@@ -293,10 +300,12 @@ def build_dc_tree(seqs, names, params: Param, matrix=None) -> str:
             )
         else:
             eids = _phase2_chunk_msa(
-                state, phi[:B], nongap[:B], phi[s:qe], nongap[s:qe],
+                state, phi_bb, nongap_bb,
+                jnp.asarray(phi_host[s0:qe]),         # staged from host bank
+                jnp.asarray(nongap_host[s0:qe], dtype),
                 distance_type=params.distance_type, dtype_name=dtype_name,
             )
-        cluster_id[s:qe] = np.asarray(jax.device_get(eids))
+        cluster_id[s0:qe] = np.asarray(jax.device_get(eids))
 
     # ---- Phase 3: per-cluster local builds
     _log("DC phase 3: cluster trees")
@@ -371,7 +380,7 @@ def build_dc_tree(seqs, names, params: Param, matrix=None) -> str:
             elif frontend == "mash":
                 payload = ranks
             else:
-                payload = (phi, nongap)
+                payload = (phi_host, nongap_host)
             Dq = _dc_pair_distances(
                 frontend, params, dtype_name,
                 wit_global[s:ce], members[s:ce], payload,
@@ -466,19 +475,24 @@ def _dc_pair_distances(frontend, params: Param, dtype_name, wit_global,
 
         return jax.vmap(per_cluster)(wit, mem)
     else:
-        phi, nongap = payload
+        # host bank: gather the cluster's witness/member channels on the
+        # host and stage one upload per cluster chunk (dc/msa.cu's
+        # transferMsaClusterInfoDC pattern)
+        phi_host, nongap_host = payload
         from dipper_tpu.distance.msa import _block_distance
 
-        L = phi.shape[2]
-        wit = jnp.asarray(wit_global)
-        mem = jnp.asarray(members)
+        L = phi_host.shape[2]
+        dt = jnp.dtype(dtype_name)
+        phi_w = jnp.asarray(phi_host[wit_global])       # [C, W, 5, L]
+        phi_m = jnp.asarray(phi_host[members])          # [C, cmax, 5, L]
+        ng_w = jnp.asarray(nongap_host[wit_global], dt)
+        ng_m = jnp.asarray(nongap_host[members], dt)
 
-        def per_cluster(w_ids, m_ids):
-            blk = _block_distance(
-                phi[m_ids], phi[w_ids], nongap[m_ids], nongap[w_ids],
+        def per_cluster(pw, pm, nw, nm):
+            return _block_distance(
+                pm, pw, nm, nw,
                 distance_type=params.distance_type, dtype_name=dtype_name,
                 seq_len=L,
             )  # [cmax, W]; row side is the query ('ec') — symmetric models
-            return blk
 
-        return jax.vmap(per_cluster)(wit, mem)
+        return jax.vmap(per_cluster)(phi_w, phi_m, ng_w, ng_m)
