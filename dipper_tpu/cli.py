@@ -54,6 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", default="f32", choices=["f32", "f64"])
     p.add_argument("--seed", type=int, default=42,
                    help="input shuffle seed; -1 = keep input order")
+    p.add_argument("--save-sketches", default=None, metavar="NPZ",
+                   help="write the MinHash sketch bank to an .npz and "
+                        "continue (checkpoint; reference has none)")
+    p.add_argument("--load-sketches", default=None, metavar="NPZ",
+                   help="resume from a saved sketch bank instead of "
+                        "re-sketching (-i r only)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the build to DIR")
     return p
 
 
@@ -98,12 +106,24 @@ def main(argv=None) -> int:
         out_format=args.output_format,
         dtype="float64" if args.precision == "f64" else "float32",
         shuffle_seed=None if args.seed == -1 else args.seed,
+        save_sketches=args.save_sketches,
+        load_sketches=args.load_sketches,
     )
 
     from dipper_tpu.driver import run_pipeline
 
     t0 = time.time()
-    run_pipeline(params, algo, placemode, args)
+    if args.profile:
+        import jax.profiler
+
+        jax.profiler.start_trace(args.profile)
+    try:
+        run_pipeline(params, algo, placemode, args)
+    finally:
+        if args.profile:
+            import jax.profiler
+
+            jax.profiler.stop_trace()
     print(f"Tree Created in: {int((time.time() - t0) * 1000)} ms", file=sys.stderr)
     return 0
 

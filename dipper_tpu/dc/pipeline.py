@@ -246,10 +246,10 @@ def build_dc_tree(seqs, names, params: Param, matrix=None) -> str:
         backbone_args = (((Dm[:B, :B]),), ())
         frontend = "matrix"
     elif params.in_format == "r":
-        from dipper_tpu.sketch.minhash import sketch_sequences
+        from dipper_tpu.sketch.bank import get_sketch_bank
         from dipper_tpu.distance.mash import rank_compress, pad_ranks
 
-        sk = sketch_sequences(seqs, params.kmer_size, params.sketch_size)
+        sk = get_sketch_bank(seqs, params)
         ranks = pad_ranks(rank_compress(jnp.asarray(sk)))
         backbone_args = ((ranks[:B],), (params.kmer_size, params.sketch_size))
         frontend = "mash"

@@ -132,10 +132,10 @@ def _distance_matrix(params: Param, seqs) -> np.ndarray:
             codes, params.distance_type, dtype=params.dtype
         )
     else:
-        from dipper_tpu.sketch.minhash import sketch_sequences
+        from dipper_tpu.sketch.bank import get_sketch_bank
         from dipper_tpu.distance.mash import mash_distance_matrix_device
 
-        sketches = sketch_sequences(seqs, params.kmer_size, params.sketch_size)
+        sketches = get_sketch_bank(seqs, params)
         return mash_distance_matrix_device(
             sketches, params.kmer_size, params.sketch_size, dtype=params.dtype
         )

@@ -17,10 +17,10 @@ def _dtype_name(params: Param) -> str:
 
 
 def _mash_frontend(seqs, params: Param):
-    from dipper_tpu.sketch.minhash import sketch_sequences
+    from dipper_tpu.sketch.bank import get_sketch_bank
     from dipper_tpu.distance.mash import rank_compress, pad_ranks
 
-    sk = sketch_sequences(seqs, params.kmer_size, params.sketch_size)
+    sk = get_sketch_bank(seqs, params)
     ranks = pad_ranks(rank_compress(jnp.asarray(sk)))
     return (ranks,), (params.kmer_size, params.sketch_size)
 

@@ -43,3 +43,7 @@ class Param:
     # unreproducible — we default to a fixed seed and allow None for
     # "don't shuffle".
     shuffle_seed: int | None = 42
+    # sketch-bank checkpointing (.npz); the reference persists nothing
+    # (SURVEY §5) — the sketch bank is the natural resume unit.
+    save_sketches: str | None = None
+    load_sketches: str | None = None
