@@ -7,6 +7,13 @@
   python -m dipper_tpu.tools lower-to-full in.phy out.phy
       lower-triangular PHYLIP -> full matrix
       (scripts/lower_to_full_phylip.cpp equivalent)
+
+  python -m dipper_tpu.tools prune-fasta in.fa tree.nwk out.fa
+      keep only sequences whose names are leaves of the tree
+      (scripts/prune_fasta_from_newick.cpp equivalent)
+
+  python -m dipper_tpu.tools bl-scale in.nwk factor out.nwk
+      multiply every branch length (scripts/bl_scale.py equivalent)
 """
 
 from __future__ import annotations
@@ -37,6 +44,36 @@ def _cmd_lower_to_full(argv):
     return 0
 
 
+def _cmd_prune_fasta(argv):
+    from dipper_tpu.io.fasta import read_fasta
+    from dipper_tpu.utils.treecmp import _splits_from_newick
+
+    names, seqs = read_fasta(argv[0])
+    _, leaves = _splits_from_newick(open(argv[1]).read())
+    kept = 0
+    with open(argv[2], "wb") as f:
+        for nm, sq in zip(names, seqs):
+            if nm in leaves:
+                f.write(b">" + nm.encode() + b"\n" + sq + b"\n")
+                kept += 1
+    print(f"kept {kept}/{len(names)} sequences", file=sys.stderr)
+    return 0
+
+
+def _cmd_bl_scale(argv):
+    import re
+
+    factor = float(argv[1])
+    s = open(argv[0]).read()
+
+    def repl(m):
+        return ":" + repr(float(m.group(1)) * factor)
+
+    out = re.sub(r":([0-9.eE+-]+)", repl, s)
+    open(argv[2], "w").write(out)
+    return 0
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
@@ -47,6 +84,10 @@ def main(argv=None):
         return _cmd_nrf(rest)
     if cmd == "lower-to-full":
         return _cmd_lower_to_full(rest)
+    if cmd == "prune-fasta":
+        return _cmd_prune_fasta(rest)
+    if cmd == "bl-scale":
+        return _cmd_bl_scale(rest)
     print(f"unknown command: {cmd}", file=sys.stderr)
     print(__doc__)
     return 1
