@@ -154,10 +154,18 @@ def neighbor_joining_device(D_host, dtype=jnp.float32):
             iters = total_iters - done  # run to completion in min bucket
         else:
             iters = min(total_iters - done, n_val - S // 2)
-        D, U, real, n, step, log = _run_bucket(
-            D, U, real, n, step, log, jnp.int32(iters),
-            S=S, N_total=N, dtype_name=str(dtype),
-        )
+        # cap the work per dispatch: very long single executions can
+        # trip device-side watchdogs (observed: worker restarts on a
+        # 16K-taxon bucket run behind the tunnel)
+        per_call = max(1, min(iters, (1 << 28) // (S * S) * 128))
+        left = iters
+        while left > 0:
+            it = min(left, per_call)
+            D, U, real, n, step, log = _run_bucket(
+                D, U, real, n, step, log, jnp.int32(it),
+                S=S, N_total=N, dtype_name=str(dtype),
+            )
+            left -= it
         done += iters
         n_val -= iters
 

@@ -39,3 +39,23 @@ def test_nrf_tool(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "RF\t2" in out
+
+
+def test_sketch_bank_checkpoint(tmp_path):
+    from dipper_tpu.utils.params import Param
+    from dipper_tpu.sketch.bank import get_sketch_bank
+
+    rng = np.random.default_rng(3)
+    names, seqs = simulate_unaligned(6, 400, rng)
+    p1 = Param(kmer_size=12, sketch_size=64, in_format="r",
+               save_sketches=str(tmp_path / "b.npz"))
+    sk1 = get_sketch_bank(seqs, p1)
+    p2 = Param(kmer_size=12, sketch_size=64, in_format="r",
+               load_sketches=str(tmp_path / "b.npz"))
+    sk2 = get_sketch_bank(seqs, p2)
+    assert (sk1 == sk2).all()
+    import pytest as _pytest
+    p3 = Param(kmer_size=13, sketch_size=64, in_format="r",
+               load_sketches=str(tmp_path / "b.npz"))
+    with _pytest.raises(SystemExit):
+        get_sketch_bank(seqs, p3)
