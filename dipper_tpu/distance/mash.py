@@ -115,17 +115,11 @@ def mash_rows_vs_bank(bank_ranks, query_ranks, *, k: int, sketch_size: int,
     """bank_ranks int32 [Na, M] (the already-placed side, tag A),
     query_ranks [M] (the new taxon, tag B) -> [Na] distances.
 
-    impl: 'auto' uses the VMEM-resident Pallas kernel on TPU; callers
-    that wrap this in vmap must pass 'xla'."""
-    if impl == "auto":
-        from dipper_tpu.distance.mash_pallas import (
-            use_pallas, mash_rows_vs_bank_pallas,
-        )
-
-        if use_pallas():
-            return mash_rows_vs_bank_pallas(
-                bank_ranks, query_ranks, k=k, sketch_size=sketch_size,
-                dtype_name=dtype_name)
+    impl: 'auto' == 'xla' for a single row — the Pallas kernel's
+    8-query blocking would pad a lone row 8x, which measures no faster
+    than the fused XLA pipeline; batched callers go through
+    mash_pairwise, which does route to the kernel. Callers that wrap
+    this in vmap must pass 'xla'."""
     dtype = jnp.dtype(dtype_name)
     a_keys = bank_ranks * 2 + 1
     b_keys = jnp.broadcast_to((query_ranks * 2)[None, :], a_keys.shape)
@@ -138,11 +132,18 @@ def mash_pairwise(bank_ranks, query_ranks, *, k: int, sketch_size: int,
     """[Na, M] bank x [Nb, M] queries -> [Nb, Na] distances
     (d[q, a] = distance with a as the placed side).
 
-    impl 'auto': sequential lax.map over queries — each row's merge
-    already saturates the VPU and vmapping would materialize
-    [Q, Na, 2M] intermediates (OOM at scale). 'vmap' batches (fine for
-    small banks, e.g. per-cluster witness sets). 'pallas' uses the
-    experimental VMEM kernel."""
+    impl 'auto': the VMEM-resident Pallas merge kernel on TPU (measured
+    ~7x the XLA pipeline on v5e, scripts/kernel_micro.py); elsewhere a
+    sequential lax.map over queries — each row's merge already
+    saturates the VPU and vmapping would materialize [Q, Na, 2M]
+    intermediates (OOM at scale). 'vmap' batches (fine for small banks,
+    e.g. per-cluster witness sets). 'pallas' forces the VMEM kernel;
+    'map' forces lax.map."""
+    if impl == "auto":
+        from dipper_tpu.distance.mash_pallas import use_pallas
+
+        if use_pallas():
+            impl = "pallas"
     if impl == "pallas":
         from dipper_tpu.distance.mash_pallas import mash_inter_pallas
 

@@ -26,14 +26,19 @@ def _load() -> Optional[ctypes.CDLL]:
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(os.path.abspath(_NATIVE_DIR), "fastio.cpp")
+    stale = (not os.path.exists(_LIB_PATH)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if stale:
         try:
             subprocess.run(
                 ["make", "-C", os.path.abspath(_NATIVE_DIR)],
                 check=True, capture_output=True, timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -48,6 +53,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib.fastio_free.argtypes = [ctypes.c_void_p]
+    try:  # symbol absent in pre-phylip builds of the library
+        lib.fastio_read_phylip_lower.restype = ctypes.c_int
+        lib.fastio_read_phylip_lower.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+    except AttributeError:
+        pass
     _lib = lib
     return lib
 
@@ -83,3 +99,33 @@ def read_fasta_native(path: str) -> Optional[Tuple[List[str], List[bytes]]]:
     lib.fastio_free(off_p)
     lib.fastio_free(ctypes.cast(names_p, ctypes.c_void_p))
     return names, seqs
+
+
+def read_phylip_lower_native(path: str) -> Optional[Tuple[List[str], np.ndarray]]:
+    """Parse a lower-triangular PHYLIP matrix with the native reader.
+    Returns (names, D) with D a full symmetric [N, N] float64 matrix,
+    or None if the library (or a clean parse) is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fastio_read_phylip_lower"):
+        return None
+    vals_p = ctypes.POINTER(ctypes.c_double)()
+    names_p = ctypes.c_char_p()
+    names_len = ctypes.c_int64()
+    n = ctypes.c_int64()
+    rc = lib.fastio_read_phylip_lower(
+        path.encode(), ctypes.byref(vals_p), ctypes.byref(names_p),
+        ctypes.byref(names_len), ctypes.byref(n),
+    )
+    if rc != 0:
+        return None
+    nn = n.value
+    tri = np.ctypeslib.as_array(vals_p, shape=(nn * (nn - 1) // 2,)).copy()
+    names_raw = ctypes.string_at(names_p, names_len.value)
+    names = [s.decode() for s in names_raw.split(b"\0")[:nn]]
+    lib.fastio_free(vals_p)
+    lib.fastio_free(ctypes.cast(names_p, ctypes.c_void_p))
+    D = np.zeros((nn, nn), dtype=np.float64)
+    iu = np.tril_indices(nn, k=-1)
+    D[iu] = tri
+    D += D.T
+    return names, D

@@ -15,7 +15,14 @@ from typing import List, Tuple
 
 def read_phylip_lower_triangular(path: str) -> Tuple[List[str], np.ndarray]:
     """Returns (names, D) with D a full symmetric [N, N] float64 matrix
-    (zero diagonal)."""
+    (zero diagonal). Uses the native multithreaded parser when the
+    library is available (large matrices are ingest-bound: SURVEY §3.2),
+    falling back to pure Python."""
+    from dipper_tpu.io.native import read_phylip_lower_native
+
+    res = read_phylip_lower_native(path)
+    if res is not None:
+        return res
     with open(path, "r") as f:
         n = int(f.readline().split()[0])
         names: List[str] = []

@@ -12,6 +12,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <charconv>
 #include <string>
 #include <thread>
 #include <vector>
@@ -145,6 +146,99 @@ int fastio_read_fasta(const char* path, uint8_t** seqs_out,
 
     *seqs_out = seqs;
     *offsets_out = offsets;
+    *names_out = names_buf;
+    *names_len_out = static_cast<int64_t>(names.size());
+    *n_out = n;
+    return 0;
+}
+
+// Lower-triangular PHYLIP distance matrix parser (reference streams
+// rows with fscanf, src/matrix_reader.cu:23-45). Multithreaded: rows
+// are located serially, parsed in parallel.
+//   values: double[n*(n-1)/2], row-major lower triangle (row i has i
+//           entries starting at i*(i-1)/2)
+//   names:  concatenated NUL-terminated taxon names
+int fastio_read_phylip_lower(const char* path, double** values_out,
+                             char** names_out, int64_t* names_len_out,
+                             int64_t* n_out) {
+    std::vector<char> data;
+    if (!read_all(path, data)) return 1;
+    const char* d = data.data();
+    const size_t len = data.size();
+
+    size_t i = 0;
+    auto skip_ws = [&](size_t p) {
+        while (p < len && (d[p] == ' ' || d[p] == '\t' || d[p] == '\r')) p++;
+        return p;
+    };
+    // header: leading integer N (rest of line ignored)
+    i = skip_ws(i);
+    int64_t n = 0;
+    while (i < len && d[i] >= '0' && d[i] <= '9') n = n * 10 + (d[i++] - '0');
+    while (i < len && d[i] != '\n') i++;
+    if (i < len) i++;
+    if (n <= 0) return 2;
+
+    // locate row line boundaries
+    std::vector<std::pair<size_t, size_t>> rows;
+    rows.reserve(n);
+    while (i < len && static_cast<int64_t>(rows.size()) < n) {
+        size_t b = i;
+        while (i < len && d[i] != '\n') i++;
+        rows.emplace_back(b, i);
+        if (i < len) i++;
+    }
+    if (static_cast<int64_t>(rows.size()) < n) return 3;
+
+    double* values =
+        static_cast<double*>(malloc(sizeof(double) * (n * (n - 1) / 2 + 1)));
+    std::vector<std::string> name_vec(n);
+    unsigned hw = std::thread::hardware_concurrency();
+    int nthreads = hw ? static_cast<int>(hw) : 4;
+    if (nthreads > n) nthreads = static_cast<int>(n);
+    std::vector<int> errs(nthreads, 0);
+    {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nthreads; t++) {
+            ts.emplace_back([&, t]() {
+                for (int64_t r = t; r < n; r += nthreads) {
+                    size_t p = skip_ws(rows[r].first);
+                    const size_t e = rows[r].second;
+                    size_t nb = p;
+                    while (p < e && d[p] != ' ' && d[p] != '\t' &&
+                           d[p] != '\r')
+                        p++;
+                    name_vec[r].assign(d + nb, p - nb);
+                    double* w = values + r * (r - 1) / 2;
+                    for (int64_t c = 0; c < r; c++) {
+                        p = skip_ws(p);
+                        if (p >= e) { errs[t] = 1; return; }
+                        auto res = std::from_chars(d + p, d + e, w[c]);
+                        if (res.ec != std::errc()) { errs[t] = 1; return; }
+                        p = res.ptr - d;
+                    }
+                }
+            });
+        }
+        for (auto& th : ts) th.join();
+    }
+    for (int t = 0; t < nthreads; t++)
+        if (errs[t]) {
+            free(values);
+            return 4;
+        }
+
+    std::string names;
+    names.reserve(n * 16);
+    for (int64_t r = 0; r < n; r++) {
+        names.append(name_vec[r]);
+        names.push_back('\0');
+    }
+    char* names_buf =
+        static_cast<char*>(malloc(names.size() ? names.size() : 1));
+    memcpy(names_buf, names.data(), names.size());
+
+    *values_out = values;
     *names_out = names_buf;
     *names_len_out = static_cast<int64_t>(names.size());
     *n_out = n;

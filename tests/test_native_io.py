@@ -49,3 +49,30 @@ def test_native_matches_python(tmp_path, gz):
     assert got is not None
     assert got[0] == want[0]
     assert got[1] == want[1]
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_phylip_matches_python(tmp_path):
+    from dipper_tpu.io.phylip import write_phylip_lower_triangular
+
+    rng = np.random.default_rng(1)
+    n = 37
+    D = np.abs(rng.normal(size=(n, n)))
+    D = D + D.T
+    np.fill_diagonal(D, 0)
+    names = [f"tx_{i}" for i in range(n)]
+    p = tmp_path / "m.phy"
+    write_phylip_lower_triangular(names, np.round(D, 9), str(p))
+    got = native.read_phylip_lower_native(str(p))
+    assert got is not None
+    gn, gD = got
+    assert gn == names
+    assert np.allclose(gD, D, atol=1e-7)
+    assert np.allclose(gD, gD.T) and (np.diag(gD) == 0).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_phylip_rejects_short_row(tmp_path):
+    p = tmp_path / "bad.phy"
+    p.write_text("3\nA\nB 0.5\nC 0.25\n")  # row C missing one value
+    assert native.read_phylip_lower_native(str(p)) is None
