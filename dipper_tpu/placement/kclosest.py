@@ -268,6 +268,9 @@ def splice(st: TreeState, eid, frac, add, place_id, num_sequences: int,
 # ---------------------------------------------------------------------------
 
 
+ROW_BLOCK = 256  # insertions per prefetched distance-row block
+
+
 def make_matrix_row_fn(D):
     def row(i):
         return jax.lax.dynamic_index_in_dim(D, i, axis=0, keepdims=False)
@@ -300,6 +303,64 @@ def make_msa_row_fn(phi, nongap, distance_type: int, dtype_name: str):
         )
         return blk[0]
     return row
+
+
+# --- blocked row prefetch -------------------------------------------------
+#
+# Distance rows depend only on the sequences, never on the tree, so the
+# insertion loop can prefetch them ROW_BLOCK at a time: mash blocks go
+# through the VMEM Pallas merge kernel (~7-9x a lone fused row), MSA
+# blocks become one large MXU matmul instead of a [1, N] sliver. The
+# per-pair math is identical (integer intersection counts / identical
+# pair-count matmuls), so trees are bit-identical to the row-at-a-time
+# path.
+
+
+def _pad_rows_to(x, n_pad: int):
+    if x.shape[0] == n_pad:
+        return x
+    reps = jnp.tile(x[-1:], (n_pad - x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.concatenate([x, reps], axis=0)
+
+
+def _make_block_fn(frontend_args, frontend: str, frontend_static,
+                   dtype_name: str, N: int, B: int):
+    """Returns block(start) -> [B, N] distance rows for insertion ids
+    start..start+B-1 (start a multiple of B), or None if the frontend
+    has no batched form worth using (matrix rows are already resident)."""
+    n_pad = -(-N // B) * B
+    if frontend == "mash":
+        from dipper_tpu.distance.mash import mash_pairwise
+
+        (ranks_pad,) = frontend_args
+        k, sketch_size = frontend_static
+        qsrc = _pad_rows_to(ranks_pad, n_pad)
+
+        def block(start):
+            q = jax.lax.dynamic_slice_in_dim(qsrc, start, B, axis=0)
+            return mash_pairwise(ranks_pad, q, k=k, sketch_size=sketch_size,
+                                 dtype_name=dtype_name)
+
+        return block
+    if frontend == "msa":
+        from dipper_tpu.distance.msa import _block_distance
+
+        phi, nongap = frontend_args
+        (distance_type,) = frontend_static
+        L = phi.shape[2]
+        phis = _pad_rows_to(phi, n_pad)
+        ngs = _pad_rows_to(nongap, n_pad)
+
+        def block(start):
+            phi_b = jax.lax.dynamic_slice_in_dim(phis, start, B, axis=0)
+            ng_b = jax.lax.dynamic_slice_in_dim(ngs, start, B, axis=0)
+            return _block_distance(
+                phi_b, phi, ng_b, nongap, distance_type=distance_type,
+                dtype_name=dtype_name, seq_len=L,
+            )
+
+        return block
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -336,17 +397,48 @@ def run_placement_full(frontend_args, *, num_sequences: int, frontend: str,
     pipeline needs rev + witness lists for phases 2-3)."""
     N = num_sequences
     dtype = jnp.dtype(dtype_name)
-    row_fn = _make_row_fn(frontend_args, frontend, frontend_static, dtype_name)
     st = init_state(N, dtype)
+    row_fn = _make_row_fn(frontend_args, frontend, frontend_static, dtype_name)
     row1 = row_fn(jnp.int32(1))
     st = build_initial_tree(st, row1[0].astype(dtype), N)
     st = update_closest_bfs(st, jnp.int32(0), 2 * N)
     st = update_closest_bfs(st, jnp.int32(1), 2 * N)
+    return _blocked_insert_loop(
+        st, 2, N, frontend_args, frontend, frontend_static, dtype_name, N)
 
-    def body(i, st):
-        return insertion_step(st, i, row_fn, N)
 
-    return jax.lax.fori_loop(2, N, body, st)
+def _blocked_insert_loop(st, lo: int, hi, frontend_args, frontend: str,
+                         frontend_static, dtype_name: str, N: int):
+    """fori_loop over insertions lo..hi-1 with ROW_BLOCK-row distance
+    prefetch (see _make_block_fn). hi may be traced; lo is static."""
+    B = ROW_BLOCK
+    block_fn = _make_block_fn(
+        frontend_args, frontend, frontend_static, dtype_name, N, B)
+    if block_fn is None:
+        row_fn = _make_row_fn(
+            frontend_args, frontend, frontend_static, dtype_name)
+
+        def body(i, st):
+            return insertion_step(st, i, row_fn, N)
+
+        return jax.lax.fori_loop(lo, hi, body, st)
+
+    blk0 = block_fn(jnp.int32((lo // B) * B))
+
+    def body(i, carry):
+        st, blk = carry
+        i32 = jnp.asarray(i, jnp.int32)
+        start = (i32 // B) * B
+        blk = jax.lax.cond(i32 == start, block_fn, lambda _: blk, start)
+        row = jax.lax.dynamic_index_in_dim(blk, i32 - start, axis=0,
+                                           keepdims=False)
+        eid, frac, add = score_edges(st, row)
+        st = splice(st, eid, frac, add, i, N)
+        st = update_closest_bfs(st, i, 2 * N)
+        return st, blk
+
+    st, _ = jax.lax.fori_loop(lo, hi, body, (st, blk0))
+    return st
 
 
 def _make_row_fn(frontend_args, frontend: str, frontend_static, dtype_name: str):
@@ -378,7 +470,6 @@ def run_add_queries(frontend_args, e0, belong0, length0, rev0, *,
     N = num_sequences
     B = backbone_size
     dtype = jnp.dtype(dtype_name)
-    row_fn = _make_row_fn(frontend_args, frontend, frontend_static, dtype_name)
     E = 4 * N
     st = TreeState(
         e=e0, belong=belong0, length=length0.astype(dtype), rev=rev0,
@@ -391,11 +482,8 @@ def run_add_queries(frontend_args, e0, belong0, length0, rev0, *,
         return update_closest_bfs(st, i, 2 * N)
 
     st = jax.lax.fori_loop(0, B, seed, st)
-
-    def body(i, st):
-        return insertion_step(st, i, row_fn, N)
-
-    st = jax.lax.fori_loop(B, N, body, st)
+    st = _blocked_insert_loop(
+        st, B, N, frontend_args, frontend, frontend_static, dtype_name, N)
     return st.e, st.belong, st.length
 
 
