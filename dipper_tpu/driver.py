@@ -135,7 +135,7 @@ def _distance_matrix(params: Param, seqs) -> np.ndarray:
         from dipper_tpu.sketch.bank import get_sketch_bank
         from dipper_tpu.distance.mash import mash_distance_matrix_device
 
-        sketches = get_sketch_bank(seqs, params)
+        sketches = get_sketch_bank(seqs, params, as_device=True)
         return mash_distance_matrix_device(
             sketches, params.kmer_size, params.sketch_size, dtype=params.dtype
         )

@@ -20,7 +20,7 @@ def _mash_frontend(seqs, params: Param):
     from dipper_tpu.sketch.bank import get_sketch_bank
     from dipper_tpu.distance.mash import rank_compress, pad_ranks
 
-    sk = get_sketch_bank(seqs, params)
+    sk = get_sketch_bank(seqs, params, as_device=True)
     ranks = pad_ranks(rank_compress(jnp.asarray(sk)))
     return (ranks,), (params.kmer_size, params.sketch_size)
 

@@ -13,7 +13,16 @@ import numpy as np
 from dipper_tpu.utils.params import Param
 
 
-def get_sketch_bank(seqs, params: Param) -> np.ndarray:
+def get_sketch_bank(seqs, params: Param, as_device: bool = False):
+    """Returns the [N, sketch_size] u64 sketch bank. With
+    `as_device=True` (and no checkpoint I/O requested) the bank stays
+    device-resident — callers that immediately rank-compress skip two
+    tunnel copies."""
+    if as_device and not params.load_sketches and not params.save_sketches:
+        from dipper_tpu.sketch.minhash import sketch_sequences
+
+        return sketch_sequences(seqs, params.kmer_size, params.sketch_size,
+                                as_device=True)
     if params.load_sketches:
         data = np.load(params.load_sketches)
         sk = data["sketches"]

@@ -234,27 +234,53 @@ def sketch_batch_device(codes, lengths, *, k: int, sketch_size: int):
         lo_s.astype(jnp.uint64)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "sketch_size"))
+def sketch_batch_device_packed(words, lengths, *, k: int, sketch_size: int):
+    """Like sketch_batch_device but takes 2-bit codes PACKED 16-per-
+    int32-word LSB-first (pack_2bit layout) — 4x less host->device
+    traffic, which dominates sketching wall-clock (the hash+sort runs
+    at ~200M kmers/s on a v5e chip). Unpacks on device."""
+    B, W = words.shape
+    w = words.astype(jnp.uint32)  # int32 -> uint32 is mod 2^32 (bit-exact)
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+    codes = ((w[:, :, None] >> shifts) & jnp.uint32(3)).astype(jnp.uint8)
+    codes = codes.reshape(B, W * 16)
+    return sketch_batch_device(codes, lengths, k=k, sketch_size=sketch_size)
+
+
 def sketch_sequences(seqs, k: int, sketch_size: int = 1000,
-                     batch_size: int = 512) -> np.ndarray:
+                     batch_size: int = 512, as_device: bool = False):
     """Host driver: encode + sketch a list of byte sequences.
-    Returns uint64 [N, sketch_size] (each row ascending)."""
+    Returns uint64 [N, sketch_size] (each row ascending) — a NumPy
+    array by default, or the device-resident array with
+    `as_device=True` (skips the device->host copy; callers that
+    immediately rank-compress should use it)."""
+    from dipper_tpu.io.encode import pack_2bit
+
     N = len(seqs)
-    out = np.empty((N, sketch_size), dtype=np.uint64)
     order = np.argsort([len(s) for s in seqs], kind="stable")
+    chunks = []
     # batch similarly-sized sequences together to bound padding waste
     for s in range(0, N, batch_size):
         idx = order[s : s + batch_size]
         Lmax = max(max(len(seqs[i]) for i in idx), k)
         # round L up to limit recompilation across batches
         Lpad = int(2 ** np.ceil(np.log2(max(Lmax, 256))))
-        codes = np.zeros((len(idx), Lpad), dtype=np.uint8)
+        words = np.zeros((len(idx), Lpad // 16), dtype=np.int32)
         lens = np.empty(len(idx), dtype=np.int32)
         for r, i in enumerate(idx):
             e = encode_2bit_codes(seqs[i])
-            codes[r, : len(e)] = e
+            pw = pack_2bit(e)
+            words[r, : len(pw)] = pw
             lens[r] = len(e)
-        sk = sketch_batch_device(
-            jnp.asarray(codes), jnp.asarray(lens), k=k, sketch_size=sketch_size
-        )
-        out[idx] = np.asarray(jax.device_get(sk))
-    return out
+        chunks.append(sketch_batch_device_packed(
+            jnp.asarray(words), jnp.asarray(lens), k=k,
+            sketch_size=sketch_size))
+    sk = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+    if not np.array_equal(order, np.arange(N)):  # uniform lengths: no-op
+        inv = np.empty(N, dtype=np.int32)
+        inv[order] = np.arange(N, dtype=np.int32)
+        sk = jnp.take(sk, jnp.asarray(inv), axis=0)
+    if as_device:
+        return sk
+    return np.asarray(jax.device_get(sk))
