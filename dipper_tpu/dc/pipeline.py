@@ -225,14 +225,46 @@ def _cluster_build_vmapped(cmax: int, dtype_name: str):
 # ---------------------------------------------------------------------------
 
 
-def build_dc_tree_from_matrix(D, names, params: Param) -> str:
+def build_dc_tree_from_matrix(D, names, params: Param, mesh=None) -> str:
     """D&C from a precomputed distance matrix (an extension over the
     reference, which rejects matrix input in DC mode; also the bitwise
     test harness: oracle and engine consume identical doubles)."""
-    return build_dc_tree(None, names, params, matrix=D)
+    return build_dc_tree(None, names, params, matrix=D, mesh=mesh)
 
 
-def build_dc_tree(seqs, names, params: Param, matrix=None) -> str:
+def _shard_batch(mesh, fn, *batched):
+    """Run fn (whose args are all batched on axis 0) with the batch
+    axis sharded across the mesh — the data-parallel analog for DC
+    phases 2/3 (each query/cluster is independent; the reference's TBB
+    prefix-sum determinism proves order-independence). Pads the batch
+    to a multiple of the mesh size; callers slice the pad off."""
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    nd = mesh.devices.size
+    n = batched[0].shape[0]
+    pad = (-n) % nd
+    if pad:
+        batched = tuple(
+            jnp.concatenate([b, jnp.repeat(b[-1:], pad, axis=0)], axis=0)
+            for b in batched)
+
+    specs = tuple(P("d") for _ in batched)
+
+    @_ft.partial(shard_map, mesh=mesh, in_specs=specs,
+                 out_specs=P("d"), check_vma=False)
+    def run(*local):
+        return fn(*local)
+
+    out = run(*batched)
+    if isinstance(out, tuple):
+        return tuple(o[:n] for o in out)
+    return out[:n]
+
+
+def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
     N = len(names)
     B = params.backbone_size
     if B < 4:
@@ -291,20 +323,26 @@ def build_dc_tree(seqs, names, params: Param, matrix=None) -> str:
         qe = s0 + chunk
         q_ids = jnp.arange(s0, qe)
         if frontend == "matrix":
-            eids = _phase2_chunk_matrix(state, Dm, q_ids, backbone_size=B)
+            fn = lambda q: _phase2_chunk_matrix(state, Dm, q, backbone_size=B)
+            batched = (q_ids,)
         elif frontend == "mash":
-            eids = _phase2_chunk_mash(
-                state, ranks, q_ids, k=params.kmer_size,
+            fn = lambda q: _phase2_chunk_mash(
+                state, ranks, q, k=params.kmer_size,
                 sketch_size=params.sketch_size, dtype_name=dtype_name,
                 backbone_size=B,
             )
+            batched = (q_ids,)
         else:
-            eids = _phase2_chunk_msa(
-                state, phi_bb, nongap_bb,
-                jnp.asarray(phi_host[s0:qe]),         # staged from host bank
-                jnp.asarray(nongap_host[s0:qe], dtype),
+            fn = lambda pq, nq: _phase2_chunk_msa(
+                state, phi_bb, nongap_bb, pq, nq,
                 distance_type=params.distance_type, dtype_name=dtype_name,
             )
+            batched = (jnp.asarray(phi_host[s0:qe]),  # staged from host bank
+                       jnp.asarray(nongap_host[s0:qe], dtype))
+        if mesh is not None:
+            eids = _shard_batch(mesh, fn, *batched)
+        else:
+            eids = fn(*batched)
         cluster_id[s0:qe] = np.asarray(jax.device_get(eids))
 
     # ---- Phase 3: per-cluster local builds
@@ -385,13 +423,20 @@ def build_dc_tree(seqs, names, params: Param, matrix=None) -> str:
                 frontend, params, dtype_name,
                 wit_global[s:ce], members[s:ce], payload,
             )
-            le, lb, ll = _cluster_build_vmapped(cmax, dtype_name)(
+            build_args = (
                 Dq,
                 jnp.asarray(cd_init[s:ce], dtype),
                 jnp.asarray(cid_init[s:ce], jnp.int32),
                 jnp.asarray(lens_init[s:ce], dtype),
                 jnp.asarray(sizes[s:ce], jnp.int32),
             )
+            if mesh is not None:  # clusters data-parallel across the mesh
+                le, lb, ll = _shard_batch(
+                    mesh, _cluster_build_vmapped(cmax, dtype_name),
+                    *build_args)
+            else:
+                le, lb, ll = _cluster_build_vmapped(cmax, dtype_name)(
+                    *build_args)
             loc_e[s:ce] = np.asarray(jax.device_get(le))
             loc_b[s:ce] = np.asarray(jax.device_get(lb))
             loc_l[s:ce] = np.asarray(jax.device_get(ll), dtype=np.float64)

@@ -61,3 +61,29 @@ def test_sharded_placement_matches_single():
     assert rf == 0
     assert (np.asarray(e1) == np.asarray(e2)).all()
     assert np.allclose(np.asarray(l1), np.asarray(l2), atol=1e-12)
+
+
+@needs_multi
+def test_sharded_dc_matches_single():
+    """DC phases 2/3 sharded across the mesh == single-device build
+    (bitwise via the matrix frontend)."""
+    from dipper_tpu.dc import build_dc_tree_from_matrix
+    from dipper_tpu.utils.params import Param
+
+    import oracle
+
+    rng = np.random.default_rng(7)
+    n = 60
+    D = oracle.random_additive_like_matrix(n, rng) if hasattr(
+        oracle, "random_additive_like_matrix") else None
+    if D is None:
+        D = np.abs(rng.normal(0.3, 0.1, size=(n, n)))
+        D = (D + D.T) / 2
+        np.fill_diagonal(D, 0.0)
+    names = [f"t{i}" for i in range(n)]
+    params = Param(distance_type=1, in_format="d", dtype="float64")
+    params.backbone_size = n // 5
+    params.batch_size = params.backbone_size
+    want = build_dc_tree_from_matrix(D, names, params)
+    got = build_dc_tree_from_matrix(D, names, params, mesh=make_mesh())
+    assert got == want
