@@ -241,11 +241,35 @@ def run_exact_placement(frontend_args, *, num_sequences: int, frontend: str,
     row1 = row_fn(jnp.int32(1))
     st = _build_initial(st, row1[0].astype(dtype), N)
 
-    def body(i, st):
-        row = row_fn(i)
+    def step(st, row, i):
         lim = _compute_lims(st, row, N)
         eid, frac, add = _score_exact(st, lim)
         return _splice_exact(st, eid, frac, add, i, N)
 
-    st = jax.lax.fori_loop(2, N, body, st)
+    # blocked distance-row prefetch (see kclosest._make_block_fn):
+    # rows are tree-independent, so mash/msa frontends batch them
+    from dipper_tpu.placement.kclosest import ROW_BLOCK, _make_block_fn
+
+    B = ROW_BLOCK
+    block_fn = _make_block_fn(
+        frontend_args, frontend, frontend_static, dtype_name, N, B)
+
+    if block_fn is None:
+        def body(i, st):
+            return step(st, row_fn(i), i)
+
+        st = jax.lax.fori_loop(2, N, body, st)
+    else:
+        blk0 = block_fn(jnp.int32(0))
+
+        def body(i, carry):
+            st, blk = carry
+            i32 = jnp.asarray(i, jnp.int32)
+            start = (i32 // B) * B
+            blk = jax.lax.cond(i32 == start, block_fn, lambda _: blk, start)
+            row = jax.lax.dynamic_index_in_dim(blk, i32 - start, axis=0,
+                                               keepdims=False)
+            return step(st, row, i), blk
+
+        st, _ = jax.lax.fori_loop(2, N, body, (st, blk0))
     return st.e, st.belong, st.length
