@@ -60,6 +60,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load-sketches", default=None, metavar="NPZ",
                    help="resume from a saved sketch bank instead of "
                         "re-sketching (-i r only)")
+    p.add_argument("--save-state", default=None, metavar="NPZ",
+                   help="checkpoint the placement tree state every "
+                        "--state-chunk insertions (reference persists "
+                        "nothing)")
+    p.add_argument("--load-state", default=None, metavar="NPZ",
+                   help="resume a placement build from a tree-state "
+                        "checkpoint")
+    p.add_argument("--state-chunk", type=int, default=8192,
+                   help="insertions per device dispatch (bounds single-"
+                        "execution length; checkpoint granularity)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the build to DIR")
     return p
@@ -108,6 +118,9 @@ def main(argv=None) -> int:
         shuffle_seed=None if args.seed == -1 else args.seed,
         save_sketches=args.save_sketches,
         load_sketches=args.load_sketches,
+        save_state=args.save_state,
+        load_state=args.load_state,
+        state_chunk=args.state_chunk,
     )
 
     from dipper_tpu.driver import run_pipeline

@@ -12,6 +12,10 @@ from dipper_tpu.utils.params import Param
 from dipper_tpu.placement import kclosest
 
 
+def _log(m):
+    print(m, file=sys.stderr)
+
+
 def _dtype_name(params: Param) -> str:
     return str(jnp.dtype(params.dtype))
 
@@ -48,10 +52,13 @@ def build_placement_tree_from_matrix(D, names, params: Param, exact=False) -> st
             num_sequences=n, frontend="matrix", dtype_name=_dtype_name(params),
         )
     else:
-        e, belong, length = kclosest.run_placement(
+        st = kclosest.run_placement_chunked(
             (jnp.asarray(D, jnp.dtype(params.dtype)),),
             num_sequences=n, frontend="matrix", dtype_name=_dtype_name(params),
+            chunk=params.state_chunk, save_state=params.save_state,
+            load_state=params.load_state, log=_log,
         )
+        e, belong, length = st.e, st.belong, st.length
     return kclosest.edges_to_newick(*jax.device_get((e, belong, length)),
                                     names, n)
 
@@ -72,10 +79,13 @@ def build_placement_tree_from_seqs(seqs, names, params: Param, exact=False) -> s
             frontend_static=frontend_static, dtype_name=_dtype_name(params),
         )
     else:
-        e, belong, length = kclosest.run_placement(
+        st = kclosest.run_placement_chunked(
             frontend_args, num_sequences=n, frontend=frontend,
             frontend_static=frontend_static, dtype_name=_dtype_name(params),
+            chunk=params.state_chunk, save_state=params.save_state,
+            load_state=params.load_state, log=_log,
         )
+        e, belong, length = st.e, st.belong, st.length
     return kclosest.edges_to_newick(*jax.device_get((e, belong, length)),
                                     names, n)
 

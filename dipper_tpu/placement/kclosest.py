@@ -407,10 +407,11 @@ def run_placement_full(frontend_args, *, num_sequences: int, frontend: str,
         st, 2, N, frontend_args, frontend, frontend_static, dtype_name, N)
 
 
-def _blocked_insert_loop(st, lo: int, hi, frontend_args, frontend: str,
+def _blocked_insert_loop(st, lo, hi, frontend_args, frontend: str,
                          frontend_static, dtype_name: str, N: int):
     """fori_loop over insertions lo..hi-1 with ROW_BLOCK-row distance
-    prefetch (see _make_block_fn). hi may be traced; lo is static."""
+    prefetch (see _make_block_fn). lo/hi may be traced (the chunked
+    driver reuses one compile for every insertion range)."""
     B = ROW_BLOCK
     block_fn = _make_block_fn(
         frontend_args, frontend, frontend_static, dtype_name, N, B)
@@ -423,7 +424,7 @@ def _blocked_insert_loop(st, lo: int, hi, frontend_args, frontend: str,
 
         return jax.lax.fori_loop(lo, hi, body, st)
 
-    blk0 = block_fn(jnp.int32((lo // B) * B))
+    blk0 = block_fn((jnp.asarray(lo, jnp.int32) // B) * B)
 
     def body(i, carry):
         st, blk = carry
@@ -438,6 +439,97 @@ def _blocked_insert_loop(st, lo: int, hi, frontend_args, frontend: str,
         return st, blk
 
     st, _ = jax.lax.fori_loop(lo, hi, body, (st, blk0))
+    return st
+
+
+# ---------------------------------------------------------------------------
+# Chunked dispatch + checkpoint/resume
+#
+# A whole-build fori_loop is one device dispatch; at 10^5-10^6
+# insertions that is a multi-hour single execution, which device-side
+# watchdogs kill (observed on long NJ dispatches). The chunked driver
+# runs the same loop in bounded ranges (one compile, lo/hi dynamic) and
+# can persist the full TreeState between ranges — giving placement the
+# checkpoint/resume the reference never had (SURVEY §5: its only
+# persisted artifact is the final Newick).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_sequences", "frontend", "frontend_static",
+                     "dtype_name"),
+)
+def init_placement_state(frontend_args, *, num_sequences: int, frontend: str,
+                         frontend_static=(), dtype_name: str) -> TreeState:
+    N = num_sequences
+    dtype = jnp.dtype(dtype_name)
+    row_fn = _make_row_fn(frontend_args, frontend, frontend_static, dtype_name)
+    st = init_state(N, dtype)
+    st = build_initial_tree(st, row_fn(jnp.int32(1))[0].astype(dtype), N)
+    st = update_closest_bfs(st, jnp.int32(0), 2 * N)
+    return update_closest_bfs(st, jnp.int32(1), 2 * N)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_sequences", "frontend", "frontend_static",
+                     "dtype_name"),
+)
+def run_insert_range(st: TreeState, lo, hi, frontend_args, *,
+                     num_sequences: int, frontend: str, frontend_static=(),
+                     dtype_name: str) -> TreeState:
+    return _blocked_insert_loop(
+        st, lo, hi, frontend_args, frontend, frontend_static, dtype_name,
+        num_sequences)
+
+
+def save_tree_state(path: str, st: TreeState, next_i: int, num_sequences: int):
+    host = jax.device_get(st)
+    np.savez_compressed(
+        path, next_i=next_i, num_sequences=num_sequences,
+        **{f: np.asarray(getattr(host, f)) for f in TreeState._fields})
+
+
+def load_tree_state(path: str, num_sequences: int, dtype):
+    d = np.load(path)
+    if int(d["num_sequences"]) != num_sequences:
+        raise SystemExit(
+            f"tree-state mismatch: checkpoint has N={int(d['num_sequences'])},"
+            f" run wants N={num_sequences}")
+    st = TreeState(*(jnp.asarray(d[f]) for f in TreeState._fields))
+    st = st._replace(length=st.length.astype(dtype),
+                     cdis=st.cdis.astype(dtype))
+    return st, int(d["next_i"])
+
+
+def run_placement_chunked(frontend_args, *, num_sequences: int, frontend: str,
+                          frontend_static=(), dtype_name: str,
+                          chunk: int = 8192, save_state: str | None = None,
+                          load_state: str | None = None,
+                          log=None) -> TreeState:
+    """Whole build via bounded dispatches; identical output to
+    run_placement_full (same loop body, one compile for all ranges)."""
+    import os
+
+    N = num_sequences
+    kw = dict(num_sequences=N, frontend=frontend,
+              frontend_static=frontend_static, dtype_name=dtype_name)
+    if load_state and os.path.exists(load_state):
+        st, i0 = load_tree_state(load_state, N, jnp.dtype(dtype_name))
+        if log:
+            log(f"Resumed placement at insertion {i0}/{N}")
+    else:
+        st = init_placement_state(frontend_args, **kw)
+        i0 = 2
+    for lo in range(i0, N, chunk):
+        hi = min(N, lo + chunk)
+        st = run_insert_range(st, jnp.int32(lo), jnp.int32(hi),
+                              frontend_args, **kw)
+        if save_state:
+            save_tree_state(save_state, st, hi, N)
+            if log:
+                log(f"Checkpointed placement at insertion {hi}/{N}")
     return st
 
 

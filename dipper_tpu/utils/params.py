@@ -47,3 +47,9 @@ class Param:
     # (SURVEY §5) — the sketch bank is the natural resume unit.
     save_sketches: str | None = None
     load_sketches: str | None = None
+    # placement tree-state checkpointing (.npz) + bounded-dispatch chunk
+    # size (insertions per device dispatch; long single executions trip
+    # device-side watchdogs at 1M-taxon scale).
+    save_state: str | None = None
+    load_state: str | None = None
+    state_chunk: int = 8192

@@ -141,3 +141,40 @@ def test_add_queries_matches_oracle():
                                    names_p, n)
     rf, _ = rf_distance(got, want)
     assert rf == 0
+
+
+def test_chunked_matches_oneshot_and_resumes(tmp_path):
+    """Chunked dispatch == one-shot build bitwise; an interrupted run
+    resumes from the .npz checkpoint to the identical tree."""
+    import jax
+    import jax.numpy as jnp
+    from dipper_tpu.distance.mash import rank_compress, pad_ranks
+    from dipper_tpu.sketch.minhash import sketch_sequences
+
+    from datagen import simulate_unaligned
+
+    rng = np.random.default_rng(9)
+    names, seqs = simulate_unaligned(23, 700, rng)
+    n, k, ss = len(seqs), 12, 100
+    sk = sketch_sequences(seqs, k, ss)
+    ranks = pad_ranks(rank_compress(jnp.asarray(sk)))
+    kw = dict(num_sequences=n, frontend="mash", frontend_static=(k, ss),
+              dtype_name="float64")
+
+    e1, b1, l1 = jax.device_get(kclosest.run_placement((ranks,), **kw))
+    st = kclosest.run_placement_chunked((ranks,), chunk=7, **kw)
+    assert (np.asarray(st.e) == e1).all()
+    assert (np.asarray(st.belong) == b1).all()
+    assert np.allclose(np.asarray(st.length), l1)
+
+    # simulate interruption: run 2 chunks manually with checkpointing,
+    # then resume from the file
+    ckpt = str(tmp_path / "state.npz")
+    st0 = kclosest.init_placement_state((ranks,), **kw)
+    st0 = kclosest.run_insert_range(st0, jnp.int32(2), jnp.int32(11),
+                                    (ranks,), **kw)
+    kclosest.save_tree_state(ckpt, st0, 11, n)
+    st2 = kclosest.run_placement_chunked((ranks,), chunk=5, load_state=ckpt,
+                                         **kw)
+    assert (np.asarray(st2.e) == e1).all()
+    assert np.allclose(np.asarray(st2.length), l1)
