@@ -47,17 +47,28 @@ _PAD_KEY = np.int32(2**31 - 1)
 def rank_compress(sketches_u64):
     """u64 [N, S] (rows sorted) -> int32 ranks [N, S] preserving order
     and equality globally. max rank < N*S (must stay < 2^30 so that
-    rank*2+1 fits int32)."""
+    rank*2+1 fits int32).
+
+    The global sort runs on u32 limb pairs (two-key lax.sort): TPUs
+    have no native u64, and the emulated-u64 argsort is catastrophically
+    slow at bank scale (an [8M] u64 argsort wedged the device; the
+    same sort as two u32 keys runs in milliseconds). Tie order among
+    equal values is irrelevant: the segmented scan assigns every
+    element of an equal-run the same rank."""
     N, S = sketches_u64.shape
     flat = sketches_u64.reshape(-1)
-    order = jnp.argsort(flat)
-    sv = flat[order]
-    newseg = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), sv[1:] != sv[:-1]]
-    )
+    hi = (flat >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (flat & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     iota = jnp.arange(N * S, dtype=jnp.int32)
+    hi_s, lo_s, order = jax.lax.sort((hi, lo, iota), num_keys=2)
+    newseg = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_),
+         (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])]
+    )
     rank_sorted = jax.lax.associative_scan(jnp.maximum, jnp.where(newseg, iota, 0))
-    ranks = jnp.zeros((N * S,), jnp.int32).at[order].set(rank_sorted)
+    # invert the permutation by a second sort (a random 8M-element
+    # scatter serializes on TPU; sort-by-destination does not)
+    _, ranks = jax.lax.sort((order, rank_sorted), num_keys=1)
     return ranks.reshape(N, S)
 
 

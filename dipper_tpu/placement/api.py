@@ -21,11 +21,18 @@ def _dtype_name(params: Param) -> str:
 
 
 def _mash_frontend(seqs, params: Param):
+    import time
+
     from dipper_tpu.sketch.bank import get_sketch_bank
     from dipper_tpu.distance.mash import rank_compress, pad_ranks
 
+    t0 = time.time()
     sk = get_sketch_bank(seqs, params, as_device=True)
-    ranks = pad_ranks(rank_compress(jnp.asarray(sk)))
+    jax.block_until_ready(sk)
+    _log(f"Sketch in: {int((time.time() - t0) * 1000)} ms")
+    t0 = time.time()
+    ranks = jax.block_until_ready(pad_ranks(rank_compress(jnp.asarray(sk))))
+    _log(f"Rank bank in: {int((time.time() - t0) * 1000)} ms")
     return (ranks,), (params.kmer_size, params.sketch_size)
 
 

@@ -522,10 +522,18 @@ def run_placement_chunked(frontend_args, *, num_sequences: int, frontend: str,
     else:
         st = init_placement_state(frontend_args, **kw)
         i0 = 2
+    import time
+
     for lo in range(i0, N, chunk):
         hi = min(N, lo + chunk)
+        t0 = time.time()
         st = run_insert_range(st, jnp.int32(lo), jnp.int32(hi),
                               frontend_args, **kw)
+        jax.block_until_ready(st)
+        if log:
+            log(f"Inserted {hi}/{N} "
+                f"({(time.time() - t0) / max(hi - lo, 1) * 1e3:.2f} "
+                f"ms/insertion)")
         if save_state:
             save_tree_state(save_state, st, hi, N)
             if log:

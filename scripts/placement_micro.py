@@ -1,0 +1,87 @@
+"""Microbenchmark of the k-closest insertion loop's components.
+
+Run on the real chip:
+    python scripts/placement_micro.py [N] [ITERS]
+
+Times a fori_loop of ITERS insertion steps over a prebuilt mid-size
+tree state with the distance row precomputed, in four variants:
+  row-only    — distance row slice only (block prefetch already timed
+                by kernel_micro; this isolates loop baseline)
+  score       — + score_edges over 4N slots
+  score+splice— + splice scatter updates
+  full        — + update_closest_bfs (the frontier while_loop)
+
+Each variant performs the real state mutation so XLA cannot dead-code
+it; outputs are materialized. The deltas between rows attribute the
+per-insertion cost.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dipper_tpu.placement import kclosest as KC
+
+
+def build_state(n, warm, dtype="float32"):
+    """Place `warm` taxa of an n-slot tree from a synthetic matrix."""
+    rng = np.random.default_rng(0)
+    pts = rng.random((n, 8))
+    D = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(D, 0.0)
+    D = jnp.asarray(D / D.max(), jnp.dtype(dtype))
+    st = KC.init_placement_state(
+        (D,), num_sequences=n, frontend="matrix", dtype_name=dtype)
+    st = KC.run_insert_range(
+        st, jnp.int32(2), jnp.int32(warm), (D,),
+        num_sequences=n, frontend="matrix", dtype_name=dtype)
+    return jax.block_until_ready(st), D
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    warm = n // 2
+    st0, D = build_state(n, warm)
+    reps = 3
+
+    def loop(lo, hi, st, mode):
+        def body(i, st):
+            row = jax.lax.dynamic_index_in_dim(D, i, 0, keepdims=False)
+            if mode == "row":
+                # touch state with the row so nothing is elided
+                return st._replace(
+                    length=st.length.at[0].add(row[0] * 0))
+            eid, frac, add = KC.score_edges(st, row)
+            if mode == "score":
+                return st._replace(length=st.length.at[eid].add(add * 0))
+            st = KC.splice(st, eid, frac, add, i, n)
+            if mode == "splice":
+                return st
+            return KC.update_closest_bfs(st, i, 2 * n)
+        return jax.lax.fori_loop(lo, hi, body, st)
+
+    for mode in ("row", "score", "splice", "full"):
+        fn = jax.jit(loop, static_argnames=("mode",))
+        out = jax.block_until_ready(
+            fn(jnp.int32(warm), jnp.int32(warm + iters), st0, mode))
+        best = 1e9
+        for r in range(reps):
+            lo = warm + r  # distinct args defeat tunnel dedup
+            t0 = time.time()
+            out = jax.block_until_ready(
+                fn(jnp.int32(lo), jnp.int32(lo + iters), st0, mode))
+            best = min(best, time.time() - t0)
+        print(f"{mode:8s} {best/iters*1e3:8.3f} ms/insertion "
+              f"({iters} iters, best of {reps})")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
