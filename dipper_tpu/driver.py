@@ -156,7 +156,7 @@ def _run_placement_from_matrix(D, names, params, placemode, out_path: str):
     exact = placemode == "0"
     _log("Using exact placement mode" if exact else "Using k-closest placement mode")
     nwk = build_placement_tree_from_matrix(
-        D, names, params, exact=exact
+        D, names, params, exact=exact, log=_log
     )
     with open(out_path, "w") as f:
         f.write(nwk + "\n")
@@ -167,7 +167,8 @@ def _run_placement_from_seqs(seqs, names, params, placemode, out_path: str):
 
     exact = placemode == "0"
     _log("Using exact placement mode" if exact else "Using k-closest placement mode")
-    nwk = build_placement_tree_from_seqs(seqs, names, params, exact=exact)
+    nwk = build_placement_tree_from_seqs(seqs, names, params, exact=exact,
+                                        log=_log)
     with open(out_path, "w") as f:
         f.write(nwk + "\n")
 
@@ -211,6 +212,7 @@ def _run_add(params: Param, args, out_path: str):
     seqs_re = [b""] * len(seqs)
     for i, s in enumerate(seqs):
         seqs_re[id_map[i]] = s
-    nwk = add_queries_to_backbone(tree, seqs_re, names, params, backbone_size)
+    nwk = add_queries_to_backbone(tree, seqs_re, names, params, backbone_size,
+                                  log=_log)
     with open(out_path, "w") as f:
         f.write(nwk + "\n")

@@ -20,7 +20,27 @@ def _dtype_name(params: Param) -> str:
     return str(jnp.dtype(params.dtype))
 
 
-def _mash_frontend(seqs, params: Param):
+def run_fingerprint(params: Param, names) -> dict:
+    """Identifies a build for checkpoint/resume: resuming with a
+    different input file, shuffle seed, or sketch config that happens
+    to share N must be refused (the distance rows would not match)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for nm in names:
+        h.update(nm.encode())
+        h.update(b"\0")
+    return {
+        "names_sha256": h.hexdigest()[:16],
+        "shuffle_seed": params.shuffle_seed,
+        "kmer_size": params.kmer_size,
+        "sketch_size": params.sketch_size,
+        "distance_type": params.distance_type,
+        "in_format": params.in_format,
+    }
+
+
+def _mash_frontend(seqs, params: Param, log=None):
     import time
 
     from dipper_tpu.sketch.bank import get_sketch_bank
@@ -29,10 +49,12 @@ def _mash_frontend(seqs, params: Param):
     t0 = time.time()
     sk = get_sketch_bank(seqs, params, as_device=True)
     jax.block_until_ready(sk)
-    _log(f"Sketch in: {int((time.time() - t0) * 1000)} ms")
+    if log:
+        log(f"Sketch in: {int((time.time() - t0) * 1000)} ms")
     t0 = time.time()
     ranks = jax.block_until_ready(pad_ranks(rank_compress(jnp.asarray(sk))))
-    _log(f"Rank bank in: {int((time.time() - t0) * 1000)} ms")
+    if log:
+        log(f"Rank bank in: {int((time.time() - t0) * 1000)} ms")
     return (ranks,), (params.kmer_size, params.sketch_size)
 
 
@@ -49,7 +71,8 @@ def _msa_frontend(seqs, params: Param):
     )
 
 
-def build_placement_tree_from_matrix(D, names, params: Param, exact=False) -> str:
+def build_placement_tree_from_matrix(D, names, params: Param, exact=False,
+                                     log=None) -> str:
     n = len(names)
     if exact:
         from dipper_tpu.placement.exact import run_exact_placement
@@ -63,20 +86,22 @@ def build_placement_tree_from_matrix(D, names, params: Param, exact=False) -> st
             (jnp.asarray(D, jnp.dtype(params.dtype)),),
             num_sequences=n, frontend="matrix", dtype_name=_dtype_name(params),
             chunk=params.state_chunk, save_state=params.save_state,
-            load_state=params.load_state, log=_log,
+            load_state=params.load_state,
+            fingerprint=run_fingerprint(params, names), log=log,
         )
         e, belong, length = st.e, st.belong, st.length
     return kclosest.edges_to_newick(*jax.device_get((e, belong, length)),
                                     names, n)
 
 
-def build_placement_tree_from_seqs(seqs, names, params: Param, exact=False) -> str:
+def build_placement_tree_from_seqs(seqs, names, params: Param, exact=False,
+                                   log=None) -> str:
     n = len(seqs)
     if params.in_format == "m":
         frontend_args, frontend_static = _msa_frontend(seqs, params)
         frontend = "msa"
     else:
-        frontend_args, frontend_static = _mash_frontend(seqs, params)
+        frontend_args, frontend_static = _mash_frontend(seqs, params, log=log)
         frontend = "mash"
     if exact:
         from dipper_tpu.placement.exact import run_exact_placement
@@ -90,7 +115,8 @@ def build_placement_tree_from_seqs(seqs, names, params: Param, exact=False) -> s
             frontend_args, num_sequences=n, frontend=frontend,
             frontend_static=frontend_static, dtype_name=_dtype_name(params),
             chunk=params.state_chunk, save_state=params.save_state,
-            load_state=params.load_state, log=_log,
+            load_state=params.load_state,
+            fingerprint=run_fingerprint(params, names), log=log,
         )
         e, belong, length = st.e, st.belong, st.length
     return kclosest.edges_to_newick(*jax.device_get((e, belong, length)),
@@ -138,13 +164,13 @@ def backbone_tree_to_arrays(tree, num_sequences: int, dtype):
 
 
 def add_queries_to_backbone(tree, seqs, names, params: Param,
-                            backbone_size: int) -> str:
+                            backbone_size: int, log=None) -> str:
     n = len(seqs)
     if params.in_format == "m":
         frontend_args, frontend_static = _msa_frontend(seqs, params)
         frontend = "msa"
     elif params.in_format == "r":
-        frontend_args, frontend_static = _mash_frontend(seqs, params)
+        frontend_args, frontend_static = _mash_frontend(seqs, params, log=log)
         frontend = "mash"
     else:
         print("Adding new sequences only supported with input aligned "

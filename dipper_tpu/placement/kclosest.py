@@ -484,19 +484,50 @@ def run_insert_range(st: TreeState, lo, hi, frontend_args, *,
         num_sequences)
 
 
-def save_tree_state(path: str, st: TreeState, next_i: int, num_sequences: int):
+def save_tree_state(path: str, st: TreeState, next_i: int, num_sequences: int,
+                    fingerprint: dict | None = None):
+    """Persist the build state atomically (temp file + os.replace so a
+    crash mid-write cannot destroy the previous good checkpoint) with a
+    run fingerprint so a resume on mismatched inputs is refused."""
+    import json
+    import os
+    import tempfile
+
     host = jax.device_get(st)
-    np.savez_compressed(
-        path, next_i=next_i, num_sequences=num_sequences,
-        **{f: np.asarray(getattr(host, f)) for f in TreeState._fields})
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(path)) or ".",
+        suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez_compressed(
+                f, next_i=next_i, num_sequences=num_sequences,
+                fingerprint=json.dumps(fingerprint or {}, sort_keys=True),
+                **{f2: np.asarray(getattr(host, f2))
+                   for f2 in TreeState._fields})
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
-def load_tree_state(path: str, num_sequences: int, dtype):
+def load_tree_state(path: str, num_sequences: int, dtype,
+                    fingerprint: dict | None = None):
+    import json
+
     d = np.load(path)
     if int(d["num_sequences"]) != num_sequences:
         raise SystemExit(
             f"tree-state mismatch: checkpoint has N={int(d['num_sequences'])},"
             f" run wants N={num_sequences}")
+    if fingerprint is not None:
+        saved = json.loads(str(d["fingerprint"])) if "fingerprint" in d else {}
+        want = json.loads(json.dumps(fingerprint, sort_keys=True))
+        if saved != want:
+            raise SystemExit(
+                "tree-state mismatch: checkpoint fingerprint "
+                f"{saved!r} != run fingerprint {want!r}; refusing to "
+                "resume on mismatched inputs")
     st = TreeState(*(jnp.asarray(d[f]) for f in TreeState._fields))
     st = st._replace(length=st.length.astype(dtype),
                      cdis=st.cdis.astype(dtype))
@@ -507,6 +538,7 @@ def run_placement_chunked(frontend_args, *, num_sequences: int, frontend: str,
                           frontend_static=(), dtype_name: str,
                           chunk: int = 8192, save_state: str | None = None,
                           load_state: str | None = None,
+                          fingerprint: dict | None = None,
                           log=None) -> TreeState:
     """Whole build via bounded dispatches; identical output to
     run_placement_full (same loop body, one compile for all ranges)."""
@@ -515,8 +547,10 @@ def run_placement_chunked(frontend_args, *, num_sequences: int, frontend: str,
     N = num_sequences
     kw = dict(num_sequences=N, frontend=frontend,
               frontend_static=frontend_static, dtype_name=dtype_name)
+    fp = dict(fingerprint or {})
+    fp.update(frontend=frontend, dtype=dtype_name)
     if load_state and os.path.exists(load_state):
-        st, i0 = load_tree_state(load_state, N, jnp.dtype(dtype_name))
+        st, i0 = load_tree_state(load_state, N, jnp.dtype(dtype_name), fp)
         if log:
             log(f"Resumed placement at insertion {i0}/{N}")
     else:
@@ -535,7 +569,7 @@ def run_placement_chunked(frontend_args, *, num_sequences: int, frontend: str,
                 f"({(time.time() - t0) / max(hi - lo, 1) * 1e3:.2f} "
                 f"ms/insertion)")
         if save_state:
-            save_tree_state(save_state, st, hi, N)
+            save_tree_state(save_state, st, hi, N, fp)
             if log:
                 log(f"Checkpointed placement at insertion {hi}/{N}")
     return st

@@ -173,8 +173,18 @@ def test_chunked_matches_oneshot_and_resumes(tmp_path):
     st0 = kclosest.init_placement_state((ranks,), **kw)
     st0 = kclosest.run_insert_range(st0, jnp.int32(2), jnp.int32(11),
                                     (ranks,), **kw)
-    kclosest.save_tree_state(ckpt, st0, 11, n)
+    kclosest.save_tree_state(ckpt, st0, 11, n,
+                             {"frontend": "mash", "dtype": "float64"})
     st2 = kclosest.run_placement_chunked((ranks,), chunk=5, load_state=ckpt,
                                          **kw)
     assert (np.asarray(st2.e) == e1).all()
     assert np.allclose(np.asarray(st2.length), l1)
+
+    # resuming with a mismatched run fingerprint must be refused
+    # (ADVICE r1: same-N different-input resume emitted a corrupt tree)
+    import pytest
+
+    with pytest.raises(SystemExit, match="fingerprint"):
+        kclosest.run_placement_chunked(
+            (ranks,), chunk=5, load_state=ckpt,
+            fingerprint={"names_sha256": "deadbeef"}, **kw)
