@@ -60,6 +60,19 @@ def pack_4bit(codes: np.ndarray) -> np.ndarray:
     return (c << shifts).sum(axis=1, dtype=np.uint32).view(np.int32)
 
 
+def pack_2bit_matrix(codes: np.ndarray) -> np.ndarray:
+    """uint8 codes [B, L] {0..3} -> int32 words [B, ceil(L/16)],
+    16 codes per word LSB-first — one vectorized pack for a whole
+    batch (the per-sequence pack loop dominated ingest wall-clock)."""
+    B, L = codes.shape
+    pad = (-L) % 16
+    if pad:
+        codes = np.pad(codes, ((0, 0), (0, pad)))
+    c = codes.astype(np.uint32).reshape(B, -1, 16)
+    shifts = np.arange(16, dtype=np.uint32) * 2
+    return (c << shifts).sum(axis=2, dtype=np.uint32).view(np.int32)
+
+
 def batch_codes(seqs, encoder, pad_to: int | None = None, pad_value: int = 0):
     """Encode a list of byte sequences into a padded [N, Lmax] uint8
     matrix plus a length vector."""

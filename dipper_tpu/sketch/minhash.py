@@ -33,9 +33,13 @@ import numpy as np
 
 from dipper_tpu.io.encode import encode_2bit_codes
 
-SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-_ASCII = jnp.array([65, 67, 71, 84], dtype=jnp.uint32)  # 'A' 'C' 'G' 'T'
+# 'A','C','G','T' ASCII bytes packed LSB-first into one u32: byte i of
+# this constant is the character for 2-bit code i. A shift-based lookup
+# compiles to two VPU ops; a jnp.take gather on the same shape compiled
+# for >5 minutes on TPU.
+_ASCII_PACKED = np.uint32(0x54474341)
 
 # --- 64-bit arithmetic on explicit u32 limb pairs (hi, lo) ---------------
 # TPUs have no native u64; XLA's emulation compiles each u64 multiply
@@ -49,7 +53,7 @@ _F2 = (0xC4CEB9FE, 0x1A85EC53)
 
 
 def _u32(c):
-    return jnp.uint32(c)
+    return np.uint32(c)
 
 
 def _xor(a, b):
@@ -155,10 +159,10 @@ def _murmur_tail_u32(k1, k2, klen: int):
 def murmur3_low64_tail(k1, k2, klen: int):
     """u64-interface wrapper (used by tests): k1/k2 little-endian u64
     key words -> low-64 hash as u64."""
-    split = lambda x: ((x >> jnp.uint64(32)).astype(jnp.uint32),
-                      (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+    split = lambda x: ((x >> np.uint64(32)).astype(jnp.uint32),
+                      (x & np.uint64(0xFFFFFFFF)).astype(jnp.uint32))
     hi, lo = _murmur_tail_u32(split(k1), split(k2), klen)
-    return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    return (hi.astype(jnp.uint64) << np.uint64(32)) | lo.astype(jnp.uint64)
 
 
 def _canonical_kmers(codes, k: int):
@@ -173,9 +177,9 @@ def _canonical_kmers(codes, k: int):
     for i in range(k):
         c = c32[:, i : i + P]
         # lex (MSB-first) form: window position i at bit 2*(k-1-i)
-        fwd_lex = fwd_lex | (c << jnp.uint32(2 * (k - 1 - i)))
-        fwd_lsb = fwd_lsb | (c << jnp.uint32(2 * i))
-    mask = jnp.uint32((1 << (2 * k)) - 1)
+        fwd_lex = fwd_lex | (c << np.uint32(2 * (k - 1 - i)))
+        fwd_lsb = fwd_lsb | (c << np.uint32(2 * i))
+    mask = np.uint32((1 << (2 * k)) - 1)
     # reverse complement in lex form: rev_lex_i = 3 - b_{k-1-i}, i.e.
     # sum_m (3-b_m) << 2m = bitwise complement of the LSB-first form
     rev_lex = (~fwd_lsb) & mask
@@ -191,17 +195,16 @@ def _kmer_key_words(canon, k: int):
     k2lo = z
     k2hi = z
     for i in range(k):
-        code = ((canon >> jnp.uint32(2 * (k - 1 - i))) & jnp.uint32(3)) \
-            .astype(jnp.int32)
-        b = jnp.take(_ASCII, code)
+        code = (canon >> np.uint32(2 * (k - 1 - i))) & np.uint32(3)
+        b = (_ASCII_PACKED >> (code << np.uint32(3))) & np.uint32(0xFF)
         if i < 4:
-            k1lo = k1lo | (b << jnp.uint32(8 * i))
+            k1lo = k1lo | (b << np.uint32(8 * i))
         elif i < 8:
-            k1hi = k1hi | (b << jnp.uint32(8 * (i - 4)))
+            k1hi = k1hi | (b << np.uint32(8 * (i - 4)))
         elif i < 12:
-            k2lo = k2lo | (b << jnp.uint32(8 * (i - 8)))
+            k2lo = k2lo | (b << np.uint32(8 * (i - 8)))
         else:
-            k2hi = k2hi | (b << jnp.uint32(8 * (i - 12)))
+            k2hi = k2hi | (b << np.uint32(8 * (i - 12)))
     return (k1hi, k1lo), (k2hi, k2lo)
 
 
@@ -219,7 +222,7 @@ def sketch_batch_device(codes, lengths, *, k: int, sketch_size: int):
     hi, lo = _murmur_tail_u32(k1, k2, k)
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
     valid = pos <= (lengths[:, None] - k)
-    sent = jnp.uint32(0xFFFFFFFF)
+    sent = np.uint32(0xFFFFFFFF)
     hi = jnp.where(valid, hi, sent)
     lo = jnp.where(valid, lo, sent)
     hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2, dimension=1)
@@ -230,7 +233,7 @@ def sketch_batch_device(codes, lengths, *, k: int, sketch_size: int):
         lo_s = jnp.concatenate([lo_s, spad], axis=1)
     hi_s = hi_s[:, :sketch_size]
     lo_s = lo_s[:, :sketch_size]
-    return (hi_s.astype(jnp.uint64) << jnp.uint64(32)) | \
+    return (hi_s.astype(jnp.uint64) << np.uint64(32)) | \
         lo_s.astype(jnp.uint64)
 
 
@@ -243,7 +246,7 @@ def sketch_batch_device_packed(words, lengths, *, k: int, sketch_size: int):
     B, W = words.shape
     w = words.astype(jnp.uint32)  # int32 -> uint32 is mod 2^32 (bit-exact)
     shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
-    codes = ((w[:, :, None] >> shifts) & jnp.uint32(3)).astype(jnp.uint8)
+    codes = ((w[:, :, None] >> shifts) & np.uint32(3)).astype(jnp.uint8)
     codes = codes.reshape(B, W * 16)
     return sketch_batch_device(codes, lengths, k=k, sketch_size=sketch_size)
 
@@ -255,26 +258,32 @@ def sketch_sequences(seqs, k: int, sketch_size: int = 1000,
     array by default, or the device-resident array with
     `as_device=True` (skips the device->host copy; callers that
     immediately rank-compress should use it)."""
-    from dipper_tpu.io.encode import pack_2bit
+    from dipper_tpu.io.encode import pack_2bit_matrix
 
     N = len(seqs)
     order = np.argsort([len(s) for s in seqs], kind="stable")
     chunks = []
-    # batch similarly-sized sequences together to bound padding waste
+    # batch similarly-sized sequences together to bound padding waste;
+    # device_put is async, so batch i+1's H2D overlaps batch i's sketch
     for s in range(0, N, batch_size):
         idx = order[s : s + batch_size]
         Lmax = max(max(len(seqs[i]) for i in idx), k)
         # round L up to limit recompilation across batches
         Lpad = int(2 ** np.ceil(np.log2(max(Lmax, 256))))
-        words = np.zeros((len(idx), Lpad // 16), dtype=np.int32)
-        lens = np.empty(len(idx), dtype=np.int32)
-        for r, i in enumerate(idx):
-            e = encode_2bit_codes(seqs[i])
-            pw = pack_2bit(e)
-            words[r, : len(pw)] = pw
-            lens[r] = len(e)
+        lens = np.array([len(seqs[i]) for i in idx], dtype=np.int32)
+        codes = np.zeros((len(idx), Lpad), dtype=np.uint8)
+        if lens.min() == lens.max():
+            # uniform lengths (the AliSim/RNASim benchmark shape):
+            # one frombuffer + LUT over the concatenated batch
+            cat = b"".join(seqs[i] for i in idx)
+            codes[:, : lens[0]] = encode_2bit_codes(cat).reshape(
+                len(idx), lens[0])
+        else:
+            for r, i in enumerate(idx):
+                codes[r, : lens[r]] = encode_2bit_codes(seqs[i])
+        words = pack_2bit_matrix(codes)
         chunks.append(sketch_batch_device_packed(
-            jnp.asarray(words), jnp.asarray(lens), k=k,
+            jax.device_put(words), jax.device_put(lens), k=k,
             sketch_size=sketch_size))
     sk = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
     if not np.array_equal(order, np.arange(N)):  # uniform lengths: no-op
