@@ -208,13 +208,52 @@ def _kmer_key_words(canon, k: int):
     return (k1hi, k1lo), (k2hi, k2lo)
 
 
+_SORT_TILE = 2048
+
+
+def _pad_cols(hi, lo, width: int):
+    B, P = hi.shape
+    if P >= width:
+        return hi, lo
+    sent = np.uint32(0xFFFFFFFF)
+    pad = jnp.full((B, width - P), sent, jnp.uint32)
+    return (jnp.concatenate([hi, pad], axis=1),
+            jnp.concatenate([lo, pad], axis=1))
+
+
+def _bottom_k_sorted(hi, lo, kk: int):
+    """Exact bottom-kk of each row of u64 values given as (hi, lo) u32
+    pairs; returns ascending [B, kk] pairs, sentinel-padded. Rows are
+    selected tile-wise: sort power-of-two tiles (XLA's TPU sort both
+    compiles and runs far faster on power-of-two widths), keep each
+    tile's bottom min(TILE, kk) — a superset of its contribution to the
+    global bottom-kk — then sort the concatenated candidates once."""
+    B, P = hi.shape
+    if P <= _SORT_TILE:
+        w = max(kk, 1)
+        w = 1 << int(np.ceil(np.log2(max(P, w))))
+        hi, lo = _pad_cols(hi, lo, w)
+        hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2, dimension=1)
+        return hi_s[:, :kk], lo_s[:, :kk]
+    T = -(-P // _SORT_TILE)
+    hi, lo = _pad_cols(hi, lo, T * _SORT_TILE)
+    cap = min(_SORT_TILE, kk)
+    hi_t = hi.reshape(B, T, _SORT_TILE)
+    lo_t = lo.reshape(B, T, _SORT_TILE)
+    hi_t, lo_t = jax.lax.sort((hi_t, lo_t), num_keys=2, dimension=2)
+    hi_c = hi_t[:, :, :cap].reshape(B, T * cap)
+    lo_c = lo_t[:, :, :cap].reshape(B, T * cap)
+    return _bottom_k_sorted(hi_c, lo_c, kk)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "sketch_size"))
 def sketch_batch_device(codes, lengths, *, k: int, sketch_size: int):
     """codes uint8 [B, L] (padded), lengths int32 [B] ->
     sorted uint64 sketches [B, sketch_size] (sentinel-padded).
 
     Everything up to the final combine runs in native u32 (limb
-    murmur, two-key sort); only the [B, sketch_size] output is u64."""
+    murmur, tiled two-key bottom-k); only the [B, sketch_size] output
+    is u64."""
     B, L = codes.shape
     P = L - k + 1
     canon = _canonical_kmers(codes, k)
@@ -225,14 +264,8 @@ def sketch_batch_device(codes, lengths, *, k: int, sketch_size: int):
     sent = np.uint32(0xFFFFFFFF)
     hi = jnp.where(valid, hi, sent)
     lo = jnp.where(valid, lo, sent)
-    hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2, dimension=1)
-    if P < sketch_size:  # short sequences: sentinel-pad to sketch_size
-        padw = sketch_size - P
-        spad = jnp.full((B, padw), sent, jnp.uint32)
-        hi_s = jnp.concatenate([hi_s, spad], axis=1)
-        lo_s = jnp.concatenate([lo_s, spad], axis=1)
-    hi_s = hi_s[:, :sketch_size]
-    lo_s = lo_s[:, :sketch_size]
+    hi_s, lo_s = _bottom_k_sorted(hi, lo, sketch_size)
+    hi_s, lo_s = _pad_cols(hi_s, lo_s, sketch_size)
     return (hi_s.astype(jnp.uint64) << np.uint64(32)) | \
         lo_s.astype(jnp.uint64)
 
@@ -251,40 +284,74 @@ def sketch_batch_device_packed(words, lengths, *, k: int, sketch_size: int):
     return sketch_batch_device(codes, lengths, k=k, sketch_size=sketch_size)
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# Rows/bases per device dispatch: large batches amortize the per-
+# dispatch latency (dominant through the remote-chip tunnel) while
+# keeping the ~10 live [B, P] u32 intermediates of the hash+sort
+# pipeline under ~2 GB of HBM.
+_MAX_BATCH_ROWS = 4096
+_MAX_BATCH_BASES = 48_000_000
+
+
 def sketch_sequences(seqs, k: int, sketch_size: int = 1000,
-                     batch_size: int = 512, as_device: bool = False):
+                     batch_size: int | None = None, as_device: bool = False):
     """Host driver: encode + sketch a list of byte sequences.
     Returns uint64 [N, sketch_size] (each row ascending) — a NumPy
     array by default, or the device-resident array with
     `as_device=True` (skips the device->host copy; callers that
-    immediately rank-compress should use it)."""
-    from dipper_tpu.io.encode import pack_2bit_matrix
+    immediately rank-compress should use it).
+
+    Host work per batch is two LUT/OR passes (fused ASCII->packed-2bit,
+    encode_pack_2bit_matrix) over a padded byte matrix; everything else
+    (hashing, canonicalization, bottom-k sort) runs in one device
+    dispatch per batch, with device_put async so batch i+1's H2D
+    overlaps batch i's sketch."""
+    from dipper_tpu.io.encode import encode_pack_2bit_matrix
 
     N = len(seqs)
-    order = np.argsort([len(s) for s in seqs], kind="stable")
+    lengths = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=N)
+    order = np.argsort(lengths, kind="stable")
     chunks = []
-    # batch similarly-sized sequences together to bound padding waste;
-    # device_put is async, so batch i+1's H2D overlaps batch i's sketch
-    for s in range(0, N, batch_size):
-        idx = order[s : s + batch_size]
-        Lmax = max(max(len(seqs[i]) for i in idx), k)
-        # round L up to limit recompilation across batches
-        Lpad = int(2 ** np.ceil(np.log2(max(Lmax, 256))))
-        lens = np.array([len(seqs[i]) for i in idx], dtype=np.int32)
-        codes = np.zeros((len(idx), Lpad), dtype=np.uint8)
+    s = 0
+    while s < N:
+        # size the batch by an upper bound on its longest sequence
+        # (order is ascending, so the window's last entry bounds it)
+        Lub = max(int(lengths[order[min(s + _MAX_BATCH_ROWS, N) - 1]]), k)
+        B = batch_size or int(np.clip(
+            _MAX_BATCH_BASES // Lub, 128, _MAX_BATCH_ROWS))
+        idx = order[s : s + B]
+        s += B
+        Lmax = max(int(lengths[idx[-1]]), k)
+        # pad L to a small set of shapes to limit recompilation
+        Lpad = _round_up(Lmax, 256) if Lmax <= 2048 else _round_up(Lmax, 2048)
+        lens = lengths[idx].astype(np.int32)
+        # pad the ROW count too (sentinel rows) so every dispatch in a
+        # run reuses one compiled shape; sliced off after concatenation
+        Bpad = len(idx) if batch_size else min(
+            _round_up(len(idx), 512),
+            int(np.clip(_MAX_BATCH_BASES // max(Lpad, 1), 128,
+                        _MAX_BATCH_ROWS)))
+        ascii_mat = np.zeros((max(Bpad, len(idx)), Lpad), dtype=np.uint8)
         if lens.min() == lens.max():
             # uniform lengths (the AliSim/RNASim benchmark shape):
-            # one frombuffer + LUT over the concatenated batch
+            # one frombuffer over the concatenated batch
             cat = b"".join(seqs[i] for i in idx)
-            codes[:, : lens[0]] = encode_2bit_codes(cat).reshape(
-                len(idx), lens[0])
+            ascii_mat[: len(idx), : lens[0]] = np.frombuffer(
+                cat, dtype=np.uint8).reshape(len(idx), lens[0])
         else:
             for r, i in enumerate(idx):
-                codes[r, : lens[r]] = encode_2bit_codes(seqs[i])
-        words = pack_2bit_matrix(codes)
-        chunks.append(sketch_batch_device_packed(
-            jax.device_put(words), jax.device_put(lens), k=k,
-            sketch_size=sketch_size))
+                ascii_mat[r, : lens[r]] = np.frombuffer(seqs[i],
+                                                        dtype=np.uint8)
+        words = encode_pack_2bit_matrix(ascii_mat)
+        lens_pad = np.zeros(ascii_mat.shape[0], np.int32)
+        lens_pad[: len(idx)] = lens
+        out = sketch_batch_device_packed(
+            jax.device_put(words), jax.device_put(lens_pad), k=k,
+            sketch_size=sketch_size)
+        chunks.append(out[: len(idx)] if out.shape[0] != len(idx) else out)
     sk = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
     if not np.array_equal(order, np.arange(N)):  # uniform lengths: no-op
         inv = np.empty(N, dtype=np.int32)
