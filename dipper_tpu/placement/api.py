@@ -80,6 +80,9 @@ def build_placement_tree_from_matrix(D, names, params: Param, exact=False,
         e, belong, length = run_exact_placement(
             (jnp.asarray(D, jnp.dtype(params.dtype)),),
             num_sequences=n, frontend="matrix", dtype_name=_dtype_name(params),
+            chunk=params.state_chunk, save_state=params.save_state,
+            load_state=params.load_state,
+            fingerprint=run_fingerprint(params, names), log=log,
         )
     else:
         st = kclosest.run_placement_chunked(
@@ -109,6 +112,9 @@ def build_placement_tree_from_seqs(seqs, names, params: Param, exact=False,
         e, belong, length = run_exact_placement(
             frontend_args, num_sequences=n, frontend=frontend,
             frontend_static=frontend_static, dtype_name=_dtype_name(params),
+            chunk=params.state_chunk, save_state=params.save_state,
+            load_state=params.load_state,
+            fingerprint=run_fingerprint(params, names), log=log,
         )
     else:
         st = kclosest.run_placement_chunked(

@@ -228,48 +228,127 @@ def _splice_exact(st: ExactState, eid, frac, add, place_id, N: int) -> ExactStat
     return ExactState(e, belong, length, rev, parent, dep, st.idx + 4)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_sequences", "frontend", "frontend_static", "dtype_name"),
-)
-def run_exact_placement(frontend_args, *, num_sequences: int, frontend: str,
-                        frontend_static=(), dtype_name: str):
-    N = num_sequences
-    dtype = jnp.dtype(dtype_name)
-    row_fn = _make_row_fn(frontend_args, frontend, frontend_static, dtype_name)
-    st = _init_state(N, dtype)
-    row1 = row_fn(jnp.int32(1))
-    st = _build_initial(st, row1[0].astype(dtype), N)
+def _exact_insert_loop(st: ExactState, lo, hi, frontend_args, frontend: str,
+                       frontend_static, dtype_name: str, N: int):
+    """fori_loop over insertions lo..hi-1 (lo/hi may be traced — the
+    chunked driver reuses one compile for every range) with blocked
+    distance-row prefetch (see kclosest._make_block_fn: rows are
+    tree-independent, so mash/msa frontends batch them)."""
+    from dipper_tpu.placement.kclosest import ROW_BLOCK, _make_block_fn
 
     def step(st, row, i):
         lim = _compute_lims(st, row, N)
         eid, frac, add = _score_exact(st, lim)
         return _splice_exact(st, eid, frac, add, i, N)
 
-    # blocked distance-row prefetch (see kclosest._make_block_fn):
-    # rows are tree-independent, so mash/msa frontends batch them
-    from dipper_tpu.placement.kclosest import ROW_BLOCK, _make_block_fn
-
     B = ROW_BLOCK
     block_fn = _make_block_fn(
         frontend_args, frontend, frontend_static, dtype_name, N, B)
 
     if block_fn is None:
+        row_fn = _make_row_fn(frontend_args, frontend, frontend_static,
+                              dtype_name)
+
         def body(i, st):
             return step(st, row_fn(i), i)
 
-        st = jax.lax.fori_loop(2, N, body, st)
+        return jax.lax.fori_loop(lo, hi, body, st)
+
+    blk0 = block_fn((jnp.asarray(lo, jnp.int32) // B) * B)
+
+    def body(i, carry):
+        st, blk = carry
+        i32 = jnp.asarray(i, jnp.int32)
+        start = (i32 // B) * B
+        blk = jax.lax.cond(i32 == start, block_fn, lambda _: blk, start)
+        row = jax.lax.dynamic_index_in_dim(blk, i32 - start, axis=0,
+                                           keepdims=False)
+        return step(st, row, i), blk
+
+    st, _ = jax.lax.fori_loop(lo, hi, body, (st, blk0))
+    return st
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_sequences", "frontend", "frontend_static",
+                     "dtype_name"),
+)
+def init_exact_state(frontend_args, *, num_sequences: int, frontend: str,
+                     frontend_static=(), dtype_name: str) -> ExactState:
+    N = num_sequences
+    dtype = jnp.dtype(dtype_name)
+    row_fn = _make_row_fn(frontend_args, frontend, frontend_static, dtype_name)
+    st = _init_state(N, dtype)
+    return _build_initial(st, row_fn(jnp.int32(1))[0].astype(dtype), N)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_sequences", "frontend", "frontend_static",
+                     "dtype_name"),
+)
+def run_exact_range(st: ExactState, lo, hi, frontend_args, *,
+                    num_sequences: int, frontend: str, frontend_static=(),
+                    dtype_name: str) -> ExactState:
+    return _exact_insert_loop(
+        st, lo, hi, frontend_args, frontend, frontend_static, dtype_name,
+        num_sequences)
+
+
+def run_exact_chunked(frontend_args, *, num_sequences: int, frontend: str,
+                      frontend_static=(), dtype_name: str,
+                      chunk: int = 8192, save_state: str | None = None,
+                      load_state: str | None = None,
+                      fingerprint: dict | None = None,
+                      log=None) -> ExactState:
+    """Whole exact build via bounded dispatches with checkpoint/resume —
+    scale parity with kclosest.run_placement_chunked (the reference's
+    exact path, src/placement.cu:508-789, has neither). Identical
+    output to a single whole-build dispatch: same loop body, one
+    compile serves every insertion range."""
+    import os
+    import time
+
+    from dipper_tpu.placement.kclosest import (
+        load_tree_state, save_tree_state,
+    )
+
+    N = num_sequences
+    kw = dict(num_sequences=N, frontend=frontend,
+              frontend_static=frontend_static, dtype_name=dtype_name)
+    fp = dict(fingerprint or {})
+    fp.update(frontend=frontend, dtype=dtype_name, placement="exact")
+    if load_state and os.path.exists(load_state):
+        st, i0 = load_tree_state(load_state, N, jnp.dtype(dtype_name), fp,
+                                 cls=ExactState)
+        if log:
+            log(f"Resumed exact placement at insertion {i0}/{N}")
     else:
-        blk0 = block_fn(jnp.int32(0))
+        st = init_exact_state(frontend_args, **kw)
+        i0 = 2
+    for lo in range(i0, N, chunk):
+        hi = min(N, lo + chunk)
+        t0 = time.time()
+        st = run_exact_range(st, jnp.int32(lo), jnp.int32(hi),
+                             frontend_args, **kw)
+        jax.block_until_ready(st)
+        if log:
+            log(f"Inserted {hi}/{N} "
+                f"({(time.time() - t0) / max(hi - lo, 1) * 1e3:.2f} "
+                f"ms/insertion)")
+        if save_state:
+            save_tree_state(save_state, st, hi, N, fp)
+            if log:
+                log(f"Checkpointed exact placement at insertion {hi}/{N}")
+    return st
 
-        def body(i, carry):
-            st, blk = carry
-            i32 = jnp.asarray(i, jnp.int32)
-            start = (i32 // B) * B
-            blk = jax.lax.cond(i32 == start, block_fn, lambda _: blk, start)
-            row = jax.lax.dynamic_index_in_dim(blk, i32 - start, axis=0,
-                                               keepdims=False)
-            return step(st, row, i), blk
 
-        st, _ = jax.lax.fori_loop(2, N, body, (st, blk0))
+def run_exact_placement(frontend_args, *, num_sequences: int, frontend: str,
+                        frontend_static=(), dtype_name: str, **chunk_kw):
+    """Driver entry: returns final (e, belong, length) edge arrays."""
+    st = run_exact_chunked(
+        frontend_args, num_sequences=num_sequences, frontend=frontend,
+        frontend_static=frontend_static, dtype_name=dtype_name,
+        **{"chunk": max(num_sequences, 2), **chunk_kw})
     return st.e, st.belong, st.length

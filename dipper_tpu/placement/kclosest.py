@@ -484,9 +484,10 @@ def run_insert_range(st: TreeState, lo, hi, frontend_args, *,
         num_sequences)
 
 
-def save_tree_state(path: str, st: TreeState, next_i: int, num_sequences: int,
+def save_tree_state(path: str, st, next_i: int, num_sequences: int,
                     fingerprint: dict | None = None):
-    """Persist the build state atomically (temp file + os.replace so a
+    """Persist a build state (any NamedTuple of arrays — TreeState here,
+    exact.ExactState likewise) atomically (temp file + os.replace so a
     crash mid-write cannot destroy the previous good checkpoint) with a
     run fingerprint so a resume on mismatched inputs is refused."""
     import json
@@ -501,9 +502,10 @@ def save_tree_state(path: str, st: TreeState, next_i: int, num_sequences: int,
         with os.fdopen(fd, "wb") as f:
             np.savez_compressed(
                 f, next_i=next_i, num_sequences=num_sequences,
+                state_kind=type(st).__name__,
                 fingerprint=json.dumps(fingerprint or {}, sort_keys=True),
                 **{f2: np.asarray(getattr(host, f2))
-                   for f2 in TreeState._fields})
+                   for f2 in type(host)._fields})
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
@@ -512,7 +514,7 @@ def save_tree_state(path: str, st: TreeState, next_i: int, num_sequences: int,
 
 
 def load_tree_state(path: str, num_sequences: int, dtype,
-                    fingerprint: dict | None = None):
+                    fingerprint: dict | None = None, cls=TreeState):
     import json
 
     d = np.load(path)
@@ -520,6 +522,11 @@ def load_tree_state(path: str, num_sequences: int, dtype,
         raise SystemExit(
             f"tree-state mismatch: checkpoint has N={int(d['num_sequences'])},"
             f" run wants N={num_sequences}")
+    if "state_kind" in d and str(d["state_kind"]) != cls.__name__:
+        raise SystemExit(
+            f"tree-state mismatch: checkpoint holds {d['state_kind']}, "
+            f"run wants {cls.__name__} (exact vs k-closest placement "
+            "states are not interchangeable)")
     if fingerprint is not None:
         saved = json.loads(str(d["fingerprint"])) if "fingerprint" in d else {}
         want = json.loads(json.dumps(fingerprint, sort_keys=True))
@@ -528,9 +535,13 @@ def load_tree_state(path: str, num_sequences: int, dtype,
                 "tree-state mismatch: checkpoint fingerprint "
                 f"{saved!r} != run fingerprint {want!r}; refusing to "
                 "resume on mismatched inputs")
-    st = TreeState(*(jnp.asarray(d[f]) for f in TreeState._fields))
-    st = st._replace(length=st.length.astype(dtype),
-                     cdis=st.cdis.astype(dtype))
+    missing = [f for f in cls._fields if f not in d]
+    if missing:
+        raise SystemExit(f"tree-state file is missing arrays: {missing}")
+    st = cls(*(jnp.asarray(d[f]) for f in cls._fields))
+    casts = {f: getattr(st, f).astype(dtype)
+             for f in ("length", "cdis") if f in cls._fields}
+    st = st._replace(**casts)
     return st, int(d["next_i"])
 
 

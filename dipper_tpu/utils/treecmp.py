@@ -83,3 +83,86 @@ def rf_distance(newick_a: str, newick_b: str) -> Tuple[int, float]:
     rf = len(sa ^ sb)
     denom = len(sa) + len(sb)
     return rf, (rf / denom if denom else 0.0)
+
+
+# --- large-tree path -------------------------------------------------------
+#
+# The set-of-frozensets comparator above is O(N^2) and recursive; at the
+# reference's operating points (30K-1M leaves, scripts/experiment.sh)
+# it is unusable. This path is O(N): an iterative tokenizer + split
+# signatures = XOR of two independent random 64-bit leaf codes,
+# canonicalized against the complement (collision probability ~ N^2 /
+# 2^128 — negligible at any relevant N).
+
+
+def _split_signatures(newick: str, code_a, code_b):
+    import re
+
+    toks = re.findall(r"\(|\)|,|;|[^(),;:]+(?::[-0-9.eE+]+)?|:[-0-9.eE+]+",
+                      newick.strip())
+    stack = [(0, 0, 0)]  # (xor_a, xor_b, leafcount) of the open clade
+    sigs = []
+    leaves = []
+    for t in toks:
+        if t == "(":
+            stack.append((0, 0, 0))
+        elif t == ")":
+            xa, xb, c = stack.pop()
+            sigs.append((xa, xb, c))
+            pa, pb, pc = stack.pop()
+            stack.append((pa ^ xa, pb ^ xb, pc + c))
+        elif t in (",", ";") or t.startswith(":"):
+            continue
+        else:
+            name = t.split(":", 1)[0]
+            if name.startswith("'") and name.endswith("'"):
+                name = name[1:-1]
+            if not name:
+                continue
+            leaves.append(name)
+            ca = code_a(name)
+            cb = code_b(name)
+            pa, pb, pc = stack.pop()
+            stack.append((pa ^ ca, pb ^ cb, pc + 1))
+    return sigs, leaves
+
+
+def rf_distance_fast(newick_a: str, newick_b: str) -> Tuple[int, float]:
+    """O(N) RF via XOR split signatures; identical output to
+    rf_distance with overwhelming probability. Use for trees beyond a
+    few thousand leaves."""
+    import hashlib
+
+    def make_code(salt: bytes):
+        def code(name: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(name.encode(), digest_size=8,
+                                salt=salt).digest(), "little")
+        return code
+
+    ca, cb = make_code(b"a"), make_code(b"b")
+    sig_a, leaves_a = _split_signatures(newick_a, ca, cb)
+    sig_b, leaves_b = _split_signatures(newick_b, ca, cb)
+    if len(leaves_a) != len(leaves_b) or set(leaves_a) != set(leaves_b):
+        raise ValueError("leaf sets differ")
+    n = len(leaves_a)
+    tot_a = 0
+    tot_b = 0
+    for nm in leaves_a:
+        tot_a ^= ca(nm)
+        tot_b ^= cb(nm)
+
+    def canon(sigs):
+        out = set()
+        for xa, xb, c in sigs:
+            if c <= 1 or c >= n - 1:
+                continue  # trivial split
+            comp = (xa ^ tot_a, xb ^ tot_b, n - c)
+            out.add(min((xa, xb, c), comp))
+        return out
+
+    sa = canon(sig_a)
+    sb = canon(sig_b)
+    rf = len(sa ^ sb)
+    denom = len(sa) + len(sb)
+    return rf, (rf / denom if denom else 0.0)

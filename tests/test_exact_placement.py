@@ -78,3 +78,49 @@ def test_exact_noisy_vs_oracle_topology():
     want = o.to_newick(names)
     rf, _ = rf_distance(got, want)
     assert rf == 0
+
+
+def test_exact_chunked_matches_oneshot_and_resumes(tmp_path):
+    """Mirror of the k-closest scale features for exact placement
+    (VERDICT r2 #6): chunked dispatch == one-shot bitwise; an
+    interrupted run resumes from the .npz checkpoint to the identical
+    tree; mismatched fingerprints and cross-engine checkpoints are
+    refused."""
+    from dipper_tpu.placement import exact
+
+    n = 40
+    rng = np.random.default_rng(17)
+    D = random_additive_matrix(n, rng)
+    D = D / (D.max() * 1.05)
+    Dd = jnp.asarray(D, jnp.float64)
+    kw = dict(num_sequences=n, frontend="matrix", dtype_name="float64")
+
+    e1, b1, l1 = _run_device(D)
+    st = exact.run_exact_chunked((Dd,), chunk=7, **kw)
+    assert (np.asarray(st.e) == e1).all()
+    assert (np.asarray(st.belong) == b1).all()
+    assert (np.asarray(st.length) == l1).all()
+
+    ckpt = str(tmp_path / "exact_state.npz")
+    st0 = exact.init_exact_state((Dd,), **kw)
+    st0 = exact.run_exact_range(st0, jnp.int32(2), jnp.int32(13), (Dd,), **kw)
+    kclosest.save_tree_state(
+        ckpt, st0, 13, n,
+        {"frontend": "matrix", "dtype": "float64", "placement": "exact"})
+    st2 = exact.run_exact_chunked((Dd,), chunk=9, load_state=ckpt, **kw)
+    assert (np.asarray(st2.e) == e1).all()
+    assert (np.asarray(st2.length) == l1).all()
+
+    with pytest.raises(SystemExit, match="fingerprint"):
+        exact.run_exact_chunked(
+            (Dd,), chunk=9, load_state=ckpt,
+            fingerprint={"names_sha256": "deadbeef"}, **kw)
+
+    # a k-closest TreeState checkpoint must be refused by the exact loader
+    stk = kclosest.init_placement_state((Dd,), **kw)
+    kck = str(tmp_path / "kclosest_state.npz")
+    kclosest.save_tree_state(
+        kck, stk, 2, n,
+        {"frontend": "matrix", "dtype": "float64", "placement": "exact"})
+    with pytest.raises(SystemExit, match="ExactState"):
+        exact.run_exact_chunked((Dd,), chunk=9, load_state=kck, **kw)
