@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "execution length; checkpoint granularity)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the build to DIR")
+    p.add_argument("--devices", type=int, default=1, metavar="N",
+                   help="shard work over the first N local devices "
+                        "(row-sharded NJ Q-scan; data-parallel D&C "
+                        "cluster builds). 1 = single chip (default)")
     return p
 
 
@@ -121,6 +125,7 @@ def main(argv=None) -> int:
         save_state=args.save_state,
         load_state=args.load_state,
         state_chunk=args.state_chunk,
+        devices=args.devices,
     )
 
     from dipper_tpu.driver import run_pipeline

@@ -59,7 +59,20 @@ def rank_compress(sketches_u64):
     flat = sketches_u64.reshape(-1)
     hi = (flat >> jnp.uint64(32)).astype(jnp.uint32)
     lo = (flat & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    iota = jnp.arange(N * S, dtype=jnp.int32)
+    # pad the sort width to a power of two: XLA's TPU sort is
+    # drastically cheaper to compile and run on pow2 widths (a
+    # non-pow2 30M-element sort OOM-killed the AOT compile helper at
+    # the 30K-taxa operating point). Pads carry sentinel keys and
+    # past-the-end iota, so with a stable sort every real element's
+    # rank (first iota of its equal-run) is unchanged; the inverting
+    # sort brings the real elements back to the front.
+    P = N * S
+    Pp = 1 << int(np.ceil(np.log2(max(P, 2))))
+    iota = jnp.arange(Pp, dtype=jnp.int32)
+    if Pp != P:
+        sent = np.uint32(0xFFFFFFFF)
+        hi = jnp.concatenate([hi, jnp.full((Pp - P,), sent, jnp.uint32)])
+        lo = jnp.concatenate([lo, jnp.full((Pp - P,), sent, jnp.uint32)])
     hi_s, lo_s, order = jax.lax.sort((hi, lo, iota), num_keys=2)
     newseg = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_),
@@ -69,7 +82,7 @@ def rank_compress(sketches_u64):
     # invert the permutation by a second sort (a random 8M-element
     # scatter serializes on TPU; sort-by-destination does not)
     _, ranks = jax.lax.sort((order, rank_sorted), num_keys=1)
-    return ranks.reshape(N, S)
+    return ranks[:P].reshape(N, S)
 
 
 def _bitonic_merge(keys):

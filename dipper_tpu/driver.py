@@ -141,10 +141,27 @@ def _distance_matrix(params: Param, seqs) -> np.ndarray:
         )
 
 
+def _make_mesh(params: Param):
+    """Mesh over the first `params.devices` local devices, or None for
+    the default single-chip path."""
+    if params.devices <= 1:
+        return None
+    from dipper_tpu.parallel.sharded import make_mesh
+
+    import jax
+
+    nd = min(params.devices, len(jax.devices()))
+    if nd <= 1:
+        return None
+    _log(f"Sharding over {nd} devices")
+    return make_mesh(nd)
+
+
 def _write_nj(D: np.ndarray, names, params: Param, out_path: str):
     from dipper_tpu.nj import neighbor_joining_device, nj_tree_newick
 
-    children, root = neighbor_joining_device(D, dtype=params.dtype)
+    children, root = neighbor_joining_device(D, dtype=params.dtype,
+                                             mesh=_make_mesh(params))
     nwk = nj_tree_newick(children, root, names)
     with open(out_path, "w") as f:
         f.write(nwk + "\n")
@@ -179,7 +196,7 @@ def _run_dc(seqs, names, params, out_path: str):
 
     params.backbone_size = len(seqs) // 20
     params.batch_size = params.backbone_size
-    nwk = build_dc_tree(seqs, names, params)
+    nwk = build_dc_tree(seqs, names, params, mesh=_make_mesh(params))
     with open(out_path, "w") as f:
         f.write(nwk + "\n")
 

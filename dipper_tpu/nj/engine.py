@@ -120,9 +120,22 @@ def _shrink(D, real, n, *, newS):
     return D2, U2, real[:newS]
 
 
-def neighbor_joining_device(D_host, dtype=jnp.float32):
+def neighbor_joining_device(D_host, dtype=jnp.float32, mesh=None):
     """Runs device NJ. Returns (children, root) like the test oracle:
-    children[v] = [(child_id, branch_length), ...]."""
+    children[v] = [(child_id, branch_length), ...].
+
+    `mesh`: optional jax.sharding.Mesh with axis 'd'. The [S, S] matrix
+    is laid out row-sharded (P('d', None)) and the SAME bucket loop
+    runs under GSPMD: the O(N^2)-per-iteration Q-scan argmin becomes a
+    per-shard scan + ICI-collective merge, the masked-select rebuild
+    stays shard-local, and the x/y row reads become collective gathers
+    — all inserted by the partitioner, with argmin's first-minimum
+    semantics (and therefore the tie-break and the join sequence)
+    unchanged vs single-device. Branch lengths can differ at ULP level
+    because sharded row-sum reductions reassociate floating-point
+    adds. The reference's Q-scan is a single-GPU thread stripe
+    (src/neighborJoining.cu:117-148); this is its multi-chip analog
+    (SURVEY §2.4)."""
     N = int(D_host.shape[0])
     if N < 2:
         raise ValueError("need at least 2 taxa")
@@ -135,8 +148,14 @@ def neighbor_joining_device(D_host, dtype=jnp.float32):
 
     dtype = jnp.dtype(dtype)
     S = max(128, int(2 ** np.ceil(np.log2(N))))
-    D = jnp.zeros((S, S), dtype)
-    D = D.at[:N, :N].set(jnp.asarray(D_host, dtype))
+    Dnp = np.zeros((S, S), np.dtype(dtype))
+    Dnp[:N, :N] = np.asarray(D_host, np.dtype(dtype))
+    if mesh is not None and S % mesh.devices.size == 0:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        D = jax.device_put(Dnp, NamedSharding(mesh, PartitionSpec("d", None)))
+    else:
+        D = jnp.asarray(Dnp)
     U = jnp.sum(D, axis=1)
     real = jnp.arange(S, dtype=jnp.int32)
     n = jnp.int32(N)

@@ -127,9 +127,13 @@ def _sharded_placement_jit(ranks_sharded, *, num_sequences, k, sketch_size,
             return jax.lax.all_gather(local, "d", tiled=True)[:N]
 
         def score_sharded(st, row):
-            # score a local slice of edges; merge (addi, frac, eid)
-            el = E // nd
-            lo = didx * el
+            # score a local slice of edges; merge (addi, frac, eid).
+            # ceil-sized slices with a clamped start cover E not
+            # divisible by nd: the last shard overlaps its neighbor,
+            # which is argmin-safe (duplicated edges score identically
+            # and the first-device tie-break picks the earlier shard)
+            el = -(-E // nd)
+            lo = jnp.minimum(didx * el, E - el)
             sl = TreeState(
                 e=jax.lax.dynamic_slice_in_dim(st.e, lo, el),
                 belong=jax.lax.dynamic_slice_in_dim(st.belong, lo, el),
@@ -207,9 +211,11 @@ def sharded_placement_build(sketches_u64, k: int, sketch_size: int,
 
     N = int(sketches_u64.shape[0])
     nd = mesh.devices.size
-    if N % nd != 0 or (4 * N) % nd != 0:
-        raise ValueError(f"N={N} must be divisible by mesh size {nd}")
     ranks = pad_ranks(rank_compress(jnp.asarray(sketches_u64)))
+    pad = (-N) % nd  # pad bank rows so the shard split is even; the
+    if pad:          # distance gather slices back to [:N]
+        ranks = jnp.concatenate([ranks, jnp.tile(ranks[-1:], (pad, 1))],
+                                axis=0)
     sharding = jax.sharding.NamedSharding(mesh, P("d", None))
     ranks_sharded = jax.device_put(ranks, sharding)
     e, belong, length = _sharded_placement_jit(

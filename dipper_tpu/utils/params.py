@@ -53,3 +53,6 @@ class Param:
     save_state: str | None = None
     load_state: str | None = None
     state_chunk: int = 8192
+    # shard work over the first `devices` local devices (mesh axis 'd');
+    # the reference is strictly single-GPU (SURVEY §2.4)
+    devices: int = 1

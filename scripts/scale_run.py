@@ -96,13 +96,25 @@ def main():
     # uses it); MaxRSS of the child comes from wait4 rusage instead
     import resource
 
-    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                            stderr=subprocess.PIPE, text=True, env=env,
-                            cwd=REPO)
-    out, stderr = proc.communicate(timeout=args.timeout)
+    # stream the child's stderr live to our stderr AND a log file so
+    # long runs are observable while in flight
+    log_path = os.path.join(args.workdir,
+                            f"run_{args.mode}_n{args.n}.log")
+    stderr_lines = []
+    with open(log_path, "w") as logf:
+        proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                                stderr=subprocess.PIPE, text=True, env=env,
+                                cwd=REPO, bufsize=1)
+        for line in proc.stderr:
+            stderr_lines.append(line)
+            sys.stderr.write(line)
+            sys.stderr.flush()
+            logf.write(line)
+            logf.flush()
+        proc.wait(timeout=args.timeout)
+    stderr = "".join(stderr_lines)
     maxrss_kb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
     wall_s = time.time() - t0
-    sys.stderr.write(stderr)
     if proc.returncode != 0:
         print(f"[scale] FAILED rc={proc.returncode}", file=sys.stderr)
         raise SystemExit(proc.returncode)
