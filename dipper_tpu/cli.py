@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard work over the first N local devices "
                         "(row-sharded NJ Q-scan; data-parallel D&C "
                         "cluster builds). 1 = single chip (default)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host: jax.distributed coordinator "
+                        "address (or set DIPPER_COORDINATOR); every "
+                        "participating host runs the same command "
+                        "with its own --process-id")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -105,6 +112,14 @@ def main(argv=None) -> int:
         if not os.path.exists(path):
             print(f"ERROR: cannot open file: {path}", file=sys.stderr)
             return 1
+
+    from dipper_tpu.parallel.distributed import init_distributed
+
+    proc_id, proc_count = init_distributed(
+        args.coordinator, args.num_processes, args.process_id)
+    if proc_count > 1:
+        print(f"Joined distributed runtime: process {proc_id}/{proc_count},"
+              f" {len(jax.devices())} global devices", file=sys.stderr)
 
     from dipper_tpu.utils.params import Param, PLACEMENT_THRESHOLD, DC_THRESHOLD
 

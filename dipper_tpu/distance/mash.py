@@ -43,6 +43,65 @@ import numpy as np
 _PAD_KEY = np.int32(2**31 - 1)
 
 
+# Width of the tile-sort stage of the hierarchical global sort. XLA's
+# TPU sort is fast to compile/run at pow2 widths up to ~2^14; beyond
+# that single-dim sorts compile pathologically (a flat 2^25 lax.sort
+# compiled for >20 min on the AOT service). Above _TILE_W the global
+# sort is tile-sorts + explicit bitonic key-value merge rounds, whose
+# graph is ~200 elementwise stages and compiles in seconds.
+_TILE_W = 16384
+
+
+def _bitonic_merge_kv(arrs, keys: int):
+    """arrs: tuple of [..., 2M] arrays where [..., :M] ascending and
+    [..., M:] descending in the first `keys` arrays (lexicographic).
+    Fully sorts the last axis, carrying the remaining arrays as
+    payload. NOT stable (rank assignment is order-independent within
+    equal runs, and payload keys are distinct where stability would
+    matter)."""
+    n = arrs[0].shape[-1]
+    orig = arrs[0].shape
+    assert (n & (n - 1)) == 0
+    d = n // 2
+    while d >= 1:
+        shp = arrs[0].shape[:-1] + (n // (2 * d), 2, d)
+        rs = [a.reshape(shp) for a in arrs]
+        a0 = [r[..., 0, :] for r in rs]
+        a1 = [r[..., 1, :] for r in rs]
+        if keys == 1:
+            swap = a0[0] > a1[0]
+        else:
+            swap = (a0[0] > a1[0]) | ((a0[0] == a1[0]) & (a0[1] > a1[1]))
+        lo = [jnp.where(swap, y, x) for x, y in zip(a0, a1)]
+        hi = [jnp.where(swap, x, y) for x, y in zip(a0, a1)]
+        arrs = tuple(
+            jnp.stack([l, h], axis=-2).reshape(orig)
+            for l, h in zip(lo, hi))
+        d //= 2
+    return arrs
+
+
+def _global_sort(arrs, keys: int):
+    """Sort flat pow2-length arrays by the first `keys` arrays
+    (lexicographic u32/i32): tile sorts + pairwise bitonic merges."""
+    P = arrs[0].shape[0]
+    if P <= _TILE_W:
+        return jax.lax.sort(arrs, num_keys=keys)
+    R = P // _TILE_W
+    arrs = tuple(a.reshape(R, _TILE_W) for a in arrs)
+    arrs = jax.lax.sort(arrs, num_keys=keys, dimension=1)
+    while arrs[0].shape[0] > 1:
+        r, w = arrs[0].shape
+        # concat(row 2i, reversed row 2i+1) is bitonic
+        pairs = tuple(
+            jnp.concatenate(
+                [a.reshape(r // 2, 2, w)[:, 0, :],
+                 a.reshape(r // 2, 2, w)[:, 1, ::-1]], axis=1)
+            for a in arrs)
+        arrs = _bitonic_merge_kv(pairs, keys)
+    return tuple(a.reshape(-1) for a in arrs)
+
+
 @jax.jit
 def rank_compress(sketches_u64):
     """u64 [N, S] (rows sorted) -> int32 ranks [N, S] preserving order
@@ -73,7 +132,7 @@ def rank_compress(sketches_u64):
         sent = np.uint32(0xFFFFFFFF)
         hi = jnp.concatenate([hi, jnp.full((Pp - P,), sent, jnp.uint32)])
         lo = jnp.concatenate([lo, jnp.full((Pp - P,), sent, jnp.uint32)])
-    hi_s, lo_s, order = jax.lax.sort((hi, lo, iota), num_keys=2)
+    hi_s, lo_s, order = _global_sort((hi, lo, iota), keys=2)
     newseg = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_),
          (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])]
@@ -81,7 +140,7 @@ def rank_compress(sketches_u64):
     rank_sorted = jax.lax.associative_scan(jnp.maximum, jnp.where(newseg, iota, 0))
     # invert the permutation by a second sort (a random 8M-element
     # scatter serializes on TPU; sort-by-destination does not)
-    _, ranks = jax.lax.sort((order, rank_sorted), num_keys=1)
+    _, ranks = _global_sort((order, rank_sorted), keys=1)
     return ranks[:P].reshape(N, S)
 
 

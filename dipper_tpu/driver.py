@@ -18,6 +18,16 @@ def _log(msg: str):
     print(msg, file=sys.stderr)
 
 
+def _write_tree(nwk: str, out_path: str):
+    """Write the Newick output (process 0 only under multi-host: every
+    process computes the same replicated result; one writer suffices)."""
+    from dipper_tpu.parallel.distributed import is_primary
+
+    if not is_primary():
+        return
+    with open(out_path, "w") as f:
+        f.write(nwk + "\n")
+
 def _choose_mode(algo: str, n: int) -> str:
     if algo == "1":
         return "placement"
@@ -163,8 +173,7 @@ def _write_nj(D: np.ndarray, names, params: Param, out_path: str):
     children, root = neighbor_joining_device(D, dtype=params.dtype,
                                              mesh=_make_mesh(params))
     nwk = nj_tree_newick(children, root, names)
-    with open(out_path, "w") as f:
-        f.write(nwk + "\n")
+    _write_tree(nwk, out_path)
 
 
 def _run_placement_from_matrix(D, names, params, placemode, out_path: str):
@@ -175,8 +184,7 @@ def _run_placement_from_matrix(D, names, params, placemode, out_path: str):
     nwk = build_placement_tree_from_matrix(
         D, names, params, exact=exact, log=_log
     )
-    with open(out_path, "w") as f:
-        f.write(nwk + "\n")
+    _write_tree(nwk, out_path)
 
 
 def _run_placement_from_seqs(seqs, names, params, placemode, out_path: str):
@@ -186,8 +194,7 @@ def _run_placement_from_seqs(seqs, names, params, placemode, out_path: str):
     _log("Using exact placement mode" if exact else "Using k-closest placement mode")
     nwk = build_placement_tree_from_seqs(seqs, names, params, exact=exact,
                                         log=_log)
-    with open(out_path, "w") as f:
-        f.write(nwk + "\n")
+    _write_tree(nwk, out_path)
 
 
 def _run_dc(seqs, names, params, out_path: str):
@@ -197,8 +204,7 @@ def _run_dc(seqs, names, params, out_path: str):
     params.backbone_size = len(seqs) // 20
     params.batch_size = params.backbone_size
     nwk = build_dc_tree(seqs, names, params, mesh=_make_mesh(params))
-    with open(out_path, "w") as f:
-        f.write(nwk + "\n")
+    _write_tree(nwk, out_path)
 
 
 def _run_add(params: Param, args, out_path: str):
@@ -231,5 +237,4 @@ def _run_add(params: Param, args, out_path: str):
         seqs_re[id_map[i]] = s
     nwk = add_queries_to_backbone(tree, seqs_re, names, params, backbone_size,
                                   log=_log)
-    with open(out_path, "w") as f:
-        f.write(nwk + "\n")
+    _write_tree(nwk, out_path)

@@ -188,9 +188,11 @@ def neighbor_joining_device(D_host, dtype=jnp.float32, mesh=None):
         done += iters
         n_val -= iters
 
-    log_host = np.asarray(jax.device_get(log), dtype=np.float64)
-    real_host = np.asarray(jax.device_get(real))
-    d01 = float(jax.device_get(D[0, 1]))
+    from dipper_tpu.parallel.distributed import to_host
+
+    log_host = np.asarray(to_host(log), dtype=np.float64)
+    real_host = np.asarray(to_host(real))
+    d01 = float(to_host(D[0, 1]))
     for s in range(N - 2):
         a, b, blx, bly = log_host[s]
         children[N + s].append((int(a), float(blx)))
