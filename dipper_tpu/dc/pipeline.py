@@ -285,10 +285,13 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
         frontend = "matrix"
     elif params.in_format == "r":
         from dipper_tpu.sketch.bank import get_sketch_bank
-        from dipper_tpu.distance.mash import rank_compress, pad_ranks
+        from dipper_tpu.distance.mash import rank_compress_host, pad_ranks
 
         sk = get_sketch_bank(seqs, params)
-        ranks = pad_ranks(rank_compress(jnp.asarray(sk)))
+        # host rank compression (order/equality-identical to the device
+        # sort; avoids its compile blowup at bank scale) then one H2D
+        # push of the HBM-resident int32 rank bank
+        ranks = jax.device_put(pad_ranks(rank_compress_host(np.asarray(sk))))
         backbone_args = ((ranks[:B],), (params.kmer_size, params.sketch_size))
         frontend = "mash"
     elif params.in_format == "m":

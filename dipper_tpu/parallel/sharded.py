@@ -207,15 +207,17 @@ def sharded_placement_build(sketches_u64, k: int, sketch_size: int,
                             mesh: Mesh, dtype="float32"):
     """Full k-closest placement with the distance row and edge scan
     sharded over the mesh. Returns host (e, belong, length)."""
-    from dipper_tpu.distance.mash import rank_compress, pad_ranks
+    from dipper_tpu.distance.mash import rank_compress_host, pad_ranks
 
     N = int(sketches_u64.shape[0])
     nd = mesh.devices.size
-    ranks = pad_ranks(rank_compress(jnp.asarray(sketches_u64)))
+    # host rank compression (order/equality-identical to the device
+    # sort path), padded before the sharded device_put below
+    ranks = pad_ranks(rank_compress_host(np.asarray(sketches_u64)))
     pad = (-N) % nd  # pad bank rows so the shard split is even; the
     if pad:          # distance gather slices back to [:N]
-        ranks = jnp.concatenate([ranks, jnp.tile(ranks[-1:], (pad, 1))],
-                                axis=0)
+        ranks = np.concatenate([ranks, np.tile(ranks[-1:], (pad, 1))],
+                               axis=0)
     sharding = jax.sharding.NamedSharding(mesh, P("d", None))
     ranks_sharded = jax.device_put(ranks, sharding)
     e, belong, length = _sharded_placement_jit(

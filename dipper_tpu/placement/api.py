@@ -44,15 +44,18 @@ def _mash_frontend(seqs, params: Param, log=None):
     import time
 
     from dipper_tpu.sketch.bank import get_sketch_bank
-    from dipper_tpu.distance.mash import rank_compress, pad_ranks
+    from dipper_tpu.distance.mash import rank_compress_host, pad_ranks
 
     t0 = time.time()
-    sk = get_sketch_bank(seqs, params, as_device=True)
-    jax.block_until_ready(sk)
+    sk = get_sketch_bank(seqs, params)
     if log:
         log(f"Sketch in: {int((time.time() - t0) * 1000)} ms")
     t0 = time.time()
-    ranks = jax.block_until_ready(pad_ranks(rank_compress(jnp.asarray(sk))))
+    # rank-compress on host (order/equality-identical to the device
+    # path; np.unique avoids the hierarchical sort's compile blowup at
+    # bank scale) and upload the padded int32 bank in one H2D push
+    ranks = jax.block_until_ready(
+        jax.device_put(pad_ranks(rank_compress_host(np.asarray(sk)))))
     if log:
         log(f"Rank bank in: {int((time.time() - t0) * 1000)} ms")
     return (ranks,), (params.kmer_size, params.sketch_size)

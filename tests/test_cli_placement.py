@@ -79,3 +79,18 @@ def test_cli_add_to_backbone(tmp_path):
     from dipper_tpu.utils.treecmp import _splits_from_newick
     splits, leaves = _splits_from_newick(out)
     assert leaves == set(names)
+    back_splits, back_leaves = _splits_from_newick(back_nwk.read_text())
+    assert back_leaves == set(names[:B])
+    # restrict the combined tree's splits to the backbone taxa: every
+    # backbone split must survive (queries only subdivide edges, so the
+    # induced backbone topology is unchanged — placement_close_k.cu:858
+    # addQuery never restructures existing splits)
+    restricted = set()
+    for s in splits:
+        r = frozenset(s & back_leaves)
+        if 1 < len(r) < B - 1:
+            restricted.add(frozenset(min(
+                (r, frozenset(back_leaves - r)), key=sorted)))
+    norm_back = {frozenset(min((s, frozenset(back_leaves - s)), key=sorted))
+                 for s in back_splits if 1 < len(s) < B - 1}
+    assert norm_back <= restricted

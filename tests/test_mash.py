@@ -132,3 +132,30 @@ def test_cli_mash_nj(tmp_path):
     want = nj_newick(children, root, names)
     rf, _ = rf_distance(outp.read_text(), want)
     assert rf == 0
+
+
+def test_rank_compress_host_equivalent():
+    """Host np.unique ranks vs device hierarchical-sort ranks: values
+    differ (consecutive vs first-iota-of-run) but order and equality —
+    the only properties mash_rows_vs_bank consumes — must match, and
+    the resulting distances must be bitwise identical."""
+    from dipper_tpu.distance.mash import rank_compress_host, mash_rows_vs_bank
+
+    rng = np.random.default_rng(7)
+    # duplicate- and sentinel-heavy bank
+    vals = rng.integers(0, 50, (16, 64)).astype(np.uint64) * np.uint64(2**40)
+    vals.sort(axis=1)
+    dev = np.asarray(rank_compress(jnp.asarray(vals)))
+    host = rank_compress_host(vals)
+    fd, fh = dev.reshape(-1), host.reshape(-1)
+    order = np.argsort(fd, kind="stable")
+    # same equal-runs and same ordering between the two rank assignments
+    assert (np.diff(fd[order]) > 0).sum() == (np.diff(fh[order]) > 0).sum()
+    assert ((np.diff(fd[order]) == 0) == (np.diff(fh[order]) == 0)).all()
+    d_dev = np.asarray(mash_rows_vs_bank(
+        pad_ranks(jnp.asarray(dev)), pad_ranks(jnp.asarray(dev))[3],
+        k=15, sketch_size=64, dtype_name="float64"))
+    d_host = np.asarray(mash_rows_vs_bank(
+        pad_ranks(jnp.asarray(host)), pad_ranks(jnp.asarray(host))[3],
+        k=15, sketch_size=64, dtype_name="float64"))
+    np.testing.assert_array_equal(d_dev, d_host)
