@@ -150,8 +150,13 @@ def main(argv=None) -> int:
         import jax.profiler
 
         jax.profiler.start_trace(args.profile)
+    from dipper_tpu.io.errors import InputFormatError
+
     try:
         run_pipeline(params, algo, placemode, args)
+    except InputFormatError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
     finally:
         if args.profile:
             import jax.profiler

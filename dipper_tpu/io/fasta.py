@@ -15,6 +15,8 @@ from __future__ import annotations
 import gzip
 from typing import List, Tuple
 
+from dipper_tpu.io.errors import InputFormatError
+
 
 def _open_maybe_gzip(path: str) -> bytes:
     with open(path, "rb") as f:
@@ -34,7 +36,7 @@ def read_fasta(path: str) -> Tuple[List[str], List[bytes]]:
 
     res = read_fasta_native(path)
     if res is not None:
-        return res
+        return _validate(path, *res)
     data = _open_maybe_gzip(path)
     names: List[str] = []
     seqs: List[bytes] = []
@@ -42,9 +44,11 @@ def read_fasta(path: str) -> Tuple[List[str], List[bytes]]:
     # reference kseq handles fastq too but dipper is only ever fed fasta).
     pos = data.find(b">")
     if pos < 0:
-        return names, seqs
+        raise InputFormatError(
+            f"{path}: not a FASTA file (no '>' record header found"
+            + ("; file is empty)" if not data.strip() else ")"))
     body = data[pos + 1 :]
-    for rec in body.split(b"\n>"):
+    for ri, rec in enumerate(body.split(b"\n>")):
         nl = rec.find(b"\n")
         if nl < 0:
             header, seq = rec, b""
@@ -56,4 +60,19 @@ def read_fasta(path: str) -> Tuple[List[str], List[bytes]]:
         seq = seq.replace(b"\n", b"").replace(b"\r", b"")
         names.append(name.decode())
         seqs.append(seq)
+    return _validate(path, names, seqs)
+
+
+def _validate(path: str, names: List[str], seqs: List[bytes]):
+    """Shared sanity checks for both the native and the Python parser."""
+    if not names:
+        raise InputFormatError(f"{path}: no FASTA records found")
+    for ri, (name, seq) in enumerate(zip(names, seqs)):
+        if not name:
+            raise InputFormatError(
+                f"{path}: FASTA record {ri + 1} has an empty header name")
+        if not seq:
+            raise InputFormatError(
+                f"{path}: FASTA record {ri + 1} ({name!r}) has an empty "
+                f"sequence")
     return names, seqs

@@ -188,3 +188,20 @@ def test_chunked_matches_oneshot_and_resumes(tmp_path):
         kclosest.run_placement_chunked(
             (ranks,), chunk=5, load_state=ckpt,
             fingerprint={"names_sha256": "deadbeef"}, **kw)
+
+
+def test_kclosest_caterpillar_topology():
+    """Degenerate chain: taxa on a line (d(i,j)=|i-j|) inserted in
+    order produce a caterpillar, the worst case for the frontier BFS
+    closest-list update (depth ~ N rather than log N;
+    kclosest.py frontier loop must propagate the full chain depth)."""
+    n = 64
+    idx = np.arange(n, dtype=np.float64)
+    D = _scale(np.abs(idx[:, None] - idx[None, :]))
+    o = _run_oracle(D)
+    e, belong, length = _run_device(D)
+    used = belong >= 0
+    assert (np.asarray(o.e[: used.sum()]) == e[used]).all()
+    assert (np.asarray(o.belong[: used.sum()]) == belong[used]).all()
+    assert np.allclose(np.asarray(o.len[: used.sum()]), length[used],
+                       atol=1e-9)
