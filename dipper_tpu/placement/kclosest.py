@@ -325,10 +325,14 @@ def _pad_rows_to(x, n_pad: int):
 
 def _make_block_fn(frontend_args, frontend: str, frontend_static,
                    dtype_name: str, N: int, B: int):
-    """Returns block(start) -> [B, N] distance rows for insertion ids
-    start..start+B-1 (start a multiple of B), or None if the frontend
-    has no batched form worth using (matrix rows are already resident)."""
-    n_pad = -(-N // B) * B
+    """Returns block(start) -> [B, bank_rows] distance rows for
+    insertion ids start..start+B-1 (start a multiple of B), or None if
+    the frontend has no batched form worth using (matrix rows are
+    already resident). Pads the query source by the frontend bank's
+    actual row count (which the capped chunk driver may have sliced
+    below N)."""
+    bank_rows = frontend_args[0].shape[0]
+    n_pad = -(-bank_rows // B) * B
     if frontend == "mash":
         from dipper_tpu.distance.mash import mash_pairwise
 
@@ -545,17 +549,77 @@ def load_tree_state(path: str, num_sequences: int, dtype,
     return st, int(d["next_i"])
 
 
+# --- prefix caps -----------------------------------------------------------
+#
+# Insertions lo..hi-1 can only ever touch edge slots < 4*hi and
+# distance-bank rows < hi (node *ids* still span [0, 2N): middles are
+# numbered N+i-1, so the BFS's per-node arrays keep full M=2N width —
+# they are a small fraction of per-level traffic). The chunked driver
+# therefore runs each range on pow2-bucketed array prefixes: the [E]
+# and [E,K] tree scans and the [B, bank] distance blocks shrink from
+# O(N) to O(cap), roughly halving the average per-insertion cost of a
+# full build (sum of caps ~ 2N vs always-4N). Trailing slots are
+# sentinel-initialized exactly like unused slots of the full arrays,
+# so every chunk's math — score argmin (first-minimum), BFS masks,
+# splice writes — is bitwise identical to the uncapped loop; one test
+# asserts full == capped state equality.
+
+_CAP_MIN = 2048  # below this, full-width dispatch is already trivial
+
+
+def _cap_for(hi: int, N: int) -> int:
+    c = _CAP_MIN
+    while c < hi:
+        c *= 2
+    return min(N, c)
+
+
+def _resize_state(st: TreeState, E: int, dtype) -> TreeState:
+    cur = st.e.shape[0]
+    if cur == E:
+        return st
+    if cur > E:
+        return TreeState(st.e[:E], st.belong[:E], st.length[:E],
+                         st.rev[:E], st.cdis[:E], st.cid[:E], st.idx)
+    p = E - cur
+    return TreeState(
+        jnp.concatenate([st.e, jnp.full((p,), -1, jnp.int32)]),
+        jnp.concatenate([st.belong, jnp.full((p,), -1, jnp.int32)]),
+        jnp.concatenate([st.length, jnp.zeros((p,), dtype)]),
+        jnp.concatenate([st.rev, jnp.full((p,), -1, jnp.int32)]),
+        jnp.concatenate([st.cdis, jnp.full((p, K), SENT_DIS, dtype)]),
+        jnp.concatenate([st.cid, jnp.full((p, K), -1, jnp.int32)]),
+        st.idx,
+    )
+
+
+def _slice_frontend(frontend_args, frontend: str, cap: int):
+    if frontend == "mash":
+        (ranks_pad,) = frontend_args
+        return (ranks_pad[:cap],)
+    if frontend == "matrix":
+        (D,) = frontend_args
+        return (D[:cap, :cap],)
+    if frontend == "msa":
+        phi, nongap = frontend_args
+        return (phi[:cap], nongap[:cap])
+    return frontend_args
+
+
 def run_placement_chunked(frontend_args, *, num_sequences: int, frontend: str,
                           frontend_static=(), dtype_name: str,
                           chunk: int = 8192, save_state: str | None = None,
                           load_state: str | None = None,
                           fingerprint: dict | None = None,
+                          use_caps: bool = True,
                           log=None) -> TreeState:
     """Whole build via bounded dispatches; identical output to
-    run_placement_full (same loop body, one compile for all ranges)."""
+    run_placement_full (same loop body; one compile per pow2 prefix-cap
+    bucket, each reused for every range inside that bucket)."""
     import os
 
     N = num_sequences
+    dtype = jnp.dtype(dtype_name)
     kw = dict(num_sequences=N, frontend=frontend,
               frontend_static=frontend_static, dtype_name=dtype_name)
     fp = dict(fingerprint or {})
@@ -569,21 +633,32 @@ def run_placement_chunked(frontend_args, *, num_sequences: int, frontend: str,
         i0 = 2
     import time
 
+    cap = N
+    fa_cap = frontend_args
     for lo in range(i0, N, chunk):
         hi = min(N, lo + chunk)
         t0 = time.time()
+        if use_caps:
+            want = _cap_for(hi, N)
+            if want != cap:
+                cap = want
+                fa_cap = _slice_frontend(frontend_args, frontend, cap)
+            st = _resize_state(st, 4 * cap, dtype)
         st = run_insert_range(st, jnp.int32(lo), jnp.int32(hi),
-                              frontend_args, **kw)
+                              fa_cap, **kw)
         jax.block_until_ready(st)
         if log:
             log(f"Inserted {hi}/{N} "
                 f"({(time.time() - t0) / max(hi - lo, 1) * 1e3:.2f} "
                 f"ms/insertion)")
         if save_state:
-            save_tree_state(save_state, st, hi, N, fp)
+            # checkpoints always hold the full [4N] layout so a resume
+            # (or a different chunk size) never sees a capped shape
+            save_tree_state(save_state, _resize_state(st, 4 * N, dtype),
+                            hi, N, fp)
             if log:
                 log(f"Checkpointed placement at insertion {hi}/{N}")
-    return st
+    return _resize_state(st, 4 * N, dtype)
 
 
 def _make_row_fn(frontend_args, frontend: str, frontend_static, dtype_name: str):

