@@ -37,9 +37,18 @@ def get_sketch_bank(seqs, params: Param, as_device: bool = False):
         print(f"Loaded sketch bank from {params.load_sketches}",
               file=sys.stderr)
     else:
-        from dipper_tpu.sketch.minhash import sketch_sequences
+        # host-resident bank: the native sketcher avoids the D2H pull
+        # of a device-computed bank through the tunnel (bit-identical;
+        # DIPPER_NATIVE_SKETCH=0 forces the device path)
+        from dipper_tpu.sketch.native import sketch_sequences_native
 
-        sk = sketch_sequences(seqs, params.kmer_size, params.sketch_size)
+        sk = sketch_sequences_native(seqs, params.kmer_size,
+                                     params.sketch_size)
+        if sk is None:
+            from dipper_tpu.sketch.minhash import sketch_sequences
+
+            sk = sketch_sequences(seqs, params.kmer_size,
+                                  params.sketch_size)
     if params.save_sketches:
         np.savez_compressed(
             params.save_sketches, sketches=sk,
