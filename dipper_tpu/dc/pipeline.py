@@ -420,40 +420,72 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
         wit_global = np.concatenate(
             [np.maximum(gid, 0).reshape(nclusters, 2 * K), members], axis=1)
 
-        # distance tensors Dq [nclusters, cmax, W]
-        cchunk = max(1, PHASE3_BUDGET // max(1, cmax))
+        # Cluster sizes at scale are heavy-tailed (a few backbone edges
+        # attract thousands of queries while the median is ~N/B-ish);
+        # padding every cluster to the global max blew the vmapped
+        # distance intermediate to hundreds of GB at N=100K. Clusters
+        # are therefore processed in pow2 SIZE BUCKETS: each bucket
+        # builds at its own cmax_b (local node ids remapped to the
+        # global-cmax convention afterwards), and the per-dispatch
+        # cluster count is sized from the distance path's actual
+        # intermediate footprint.
+        if frontend == "matrix":
+            payload = Dm
+        elif frontend == "mash":
+            payload = ranks
+        else:
+            payload = (phi_host, nongap_host)
         loc_e = np.zeros((nclusters, 2 + 4 * cmax), np.int64)
         loc_b = np.zeros((nclusters, 2 + 4 * cmax), np.int64)
         loc_l = np.zeros((nclusters, 2 + 4 * cmax), np.float64)
-        for s in range(0, nclusters, cchunk):
-            ce = min(nclusters, s + cchunk)
-            if frontend == "matrix":
-                payload = Dm
-            elif frontend == "mash":
-                payload = ranks
-            else:
-                payload = (phi_host, nongap_host)
-            Dq = _dc_pair_distances(
-                frontend, params, dtype_name,
-                wit_global[s:ce], members[s:ce], payload,
-            )
-            build_args = (
-                Dq,
-                jnp.asarray(cd_init[s:ce], dtype),
-                jnp.asarray(cid_init[s:ce], jnp.int32),
-                jnp.asarray(lens_init[s:ce], dtype),
-                jnp.asarray(sizes[s:ce], jnp.int32),
-            )
-            if mesh is not None:  # clusters data-parallel across the mesh
-                le, lb, ll = _shard_batch(
-                    mesh, _cluster_build_vmapped(cmax, dtype_name),
-                    *build_args)
-            else:
-                le, lb, ll = _cluster_build_vmapped(cmax, dtype_name)(
-                    *build_args)
-            loc_e[s:ce] = np.asarray(jax.device_get(le))
-            loc_b[s:ce] = np.asarray(jax.device_get(lb))
-            loc_l[s:ce] = np.asarray(jax.device_get(ll), dtype=np.float64)
+        corder = np.argsort(sizes, kind="stable")
+        szs = sizes[corder]
+        b0 = 0
+        while b0 < nclusters:
+            cmax_b = 8
+            while cmax_b < szs[b0]:
+                cmax_b *= 2
+            cmax_b = min(cmax_b, cmax)
+            b1 = int(np.searchsorted(szs, cmax_b, side="right")) \
+                if cmax_b < cmax else nclusters
+            rows = corder[b0:b1]
+            b0 = b1
+            mem_b = members[rows][:, :cmax_b]
+            wit_b = wit_global[rows][:, : 2 * K + cmax_b]
+            cchunk = _phase3_cchunk(frontend, params, cmax_b)
+            for s in range(0, len(rows), cchunk):
+                rr = rows[s : s + cchunk]
+                Dq = _dc_pair_distances(
+                    frontend, params, dtype_name,
+                    wit_b[s : s + cchunk], mem_b[s : s + cchunk], payload,
+                )
+                build_args = (
+                    Dq,
+                    jnp.asarray(cd_init[rr], dtype),
+                    jnp.asarray(cid_init[rr], jnp.int32),
+                    jnp.asarray(lens_init[rr], dtype),
+                    jnp.asarray(sizes[rr], jnp.int32),
+                )
+                if mesh is not None:  # clusters data-parallel over mesh
+                    le, lb, ll = _shard_batch(
+                        mesh, _cluster_build_vmapped(cmax_b, dtype_name),
+                        *build_args)
+                else:
+                    le, lb, ll = _cluster_build_vmapped(cmax_b, dtype_name)(
+                        *build_args)
+                le = np.asarray(jax.device_get(le))
+                lb = np.asarray(jax.device_get(lb))
+                # bucket-local node ids -> global-cmax convention
+                # (middles live at 2+cmax_b+k inside the build)
+                if cmax_b != cmax:
+                    sh = cmax - cmax_b
+                    le = np.where(le >= 2 + cmax_b, le + sh, le)
+                    lb = np.where(lb >= 2 + cmax_b, lb + sh, lb)
+                w = 2 + 4 * cmax_b
+                loc_e[rr, :w] = le
+                loc_b[rr, :w] = lb
+                loc_l[rr, :w] = np.asarray(jax.device_get(ll),
+                                           dtype=np.float64)
 
         # ---- assembly: local -> FINAL global ids, fully vectorized.
         # middle k of cluster ci -> N + B - 1 + p_c + k (reference:
@@ -504,6 +536,32 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
 last_debug = None
 
 
+_PHASE3_BYTES = 2 << 30  # per-dispatch intermediate budget
+
+
+def _phase3_cchunk(frontend, params: Param, cmax_b: int) -> int:
+    """Clusters per phase-3 dispatch, sized from the distance path's
+    dominant intermediate at this bucket width."""
+    W = 2 * K + cmax_b
+    if frontend == "mash":
+        if cmax_b >= _PALLAS_CLUSTER_MIN:
+            return max(1, PHASE3_BUDGET // cmax_b)  # per-cluster kernel
+        # vmapped XLA merge materializes [c, cmax, W, 2*Mpad] u32
+        import numpy as _np
+
+        m2 = 2 * (1 << int(_np.ceil(_np.log2(max(params.sketch_size, 2)))))
+        per = cmax_b * W * m2 * 4
+        return max(1, min(PHASE3_BUDGET // max(1, cmax_b) + 1,
+                          _PHASE3_BYTES // per))
+    if frontend == "matrix":
+        return max(1, PHASE3_BUDGET // max(1, cmax_b))
+    # msa stages [c, W, 5, L] int8 witness channels
+    return max(1, PHASE3_BUDGET // max(1, cmax_b))
+
+
+_PALLAS_CLUSTER_MIN = 512  # above this, per-cluster merge-kernel calls
+
+
 def _dc_pair_distances(frontend, params: Param, dtype_name, wit_global,
                        members, payload):
     """[C_chunk, cmax, W] distance tensors: Dq[c, k, w] = d(witness w
@@ -523,6 +581,20 @@ def _dc_pair_distances(frontend, params: Param, dtype_name, wit_global,
 
         wit = jnp.asarray(wit_global)
         mem = jnp.asarray(members)
+        if members.shape[1] >= _PALLAS_CLUSTER_MIN:
+            # big clusters: the vmapped XLA merge would materialize
+            # [Q, W, 2M] per cluster (hundreds of GB at cmax ~ 1e3-1e4);
+            # run each cluster through mash_pairwise's default path (the
+            # VMEM-tiled Pallas kernel on TPU, lax.map elsewhere) —
+            # clusters this large are few, so the per-call dispatch
+            # overhead is irrelevant.
+            outs = [
+                mash_pairwise(
+                    ranks[wit[c]], ranks[mem[c]], k=params.kmer_size,
+                    sketch_size=params.sketch_size, dtype_name=dtype_name)
+                for c in range(members.shape[0])
+            ]
+            return jnp.stack(outs)
 
         def per_cluster(w_ids, m_ids):
             bank = ranks[w_ids]

@@ -130,3 +130,27 @@ def test_dc_multichunk_phase2_and_packed_phase3(monkeypatch):
     o.run_dc(lambda i: D[i])
     rf, nrf = rf_distance(got, o.to_newick(names))
     assert rf == 0, f"nRF={nrf}"
+
+
+def test_dc_size_buckets_and_big_cluster_path(monkeypatch):
+    """Heavy-tailed cluster sizes (the N=100K failure mode: one
+    backbone edge attracting thousands of queries while the median
+    cluster is tiny). Forcing tiny pow2 buckets and a low
+    per-cluster-kernel threshold must leave the tree bitwise unchanged:
+    bucket-local node-id remapping and the big-cluster (non-vmapped)
+    mash distance path both produce the same Dq/build results."""
+    import dipper_tpu.dc.pipeline as pl
+    from dipper_tpu.dc.pipeline import build_dc_tree
+    from dipper_tpu.utils.treecmp import rf_distance as rf
+
+    rng = np.random.default_rng(17)
+    names, seqs = simulate_unaligned(150, 900, rng)
+    params = Param(in_format="r", kmer_size=12, sketch_size=100,
+                   dtype="float64", backbone_size=12, batch_size=12)
+
+    want = build_dc_tree(seqs, names, params)
+
+    monkeypatch.setattr(pl, "_PALLAS_CLUSTER_MIN", 16)
+    monkeypatch.setattr(pl, "PHASE3_BUDGET", 64)
+    got = build_dc_tree(seqs, names, params)
+    assert got == want
