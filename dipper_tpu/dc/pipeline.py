@@ -536,7 +536,9 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
 last_debug = None
 
 
-_PHASE3_BYTES = 2 << 30  # per-dispatch intermediate budget
+_PHASE3_BYTES = 1 << 30  # per-dispatch intermediate budget (the
+# bitonic merge holds ~2-3 stage copies live, so the true peak is a
+# small multiple of this)
 
 
 def _phase3_cchunk(frontend, params: Param, cmax_b: int) -> int:
@@ -559,7 +561,14 @@ def _phase3_cchunk(frontend, params: Param, cmax_b: int) -> int:
     return max(1, PHASE3_BUDGET // max(1, cmax_b))
 
 
-_PALLAS_CLUSTER_MIN = 512  # above this, per-cluster merge-kernel calls
+# Above this cluster width, phase 3 issues per-cluster merge-kernel
+# calls instead of the vmapped XLA merge: the vmapped path materializes
+# [c, cmax, W, 2M] u32 (W grows with cmax, so a single 512-wide cluster
+# is ~2 GB before bitonic stage copies — observed ResourceExhausted at
+# the 100K/B=5K operating point). Distances are bitwise identical on
+# either route (integer counts + one shared _inter_to_dist), so the
+# threshold is purely a memory/dispatch-overhead tradeoff.
+_PALLAS_CLUSTER_MIN = 128
 
 
 def _dc_pair_distances(frontend, params: Param, dtype_name, wit_global,
@@ -577,34 +586,40 @@ def _dc_pair_distances(frontend, params: Param, dtype_name, wit_global,
         return jax.vmap(per_cluster)(wit, mem)
     if frontend == "mash":
         ranks = payload
-        from dipper_tpu.distance.mash import mash_pairwise
+        from dipper_tpu.distance.mash import (_inter_to_dist,
+                                              mash_pairwise_inter)
 
         wit = jnp.asarray(wit_global)
         mem = jnp.asarray(members)
         if members.shape[1] >= _PALLAS_CLUSTER_MIN:
             # big clusters: the vmapped XLA merge would materialize
             # [Q, W, 2M] per cluster (hundreds of GB at cmax ~ 1e3-1e4);
-            # run each cluster through mash_pairwise's default path (the
+            # run each cluster through the default pairwise path (the
             # VMEM-tiled Pallas kernel on TPU, lax.map elsewhere) —
             # clusters this large are few, so the per-call dispatch
             # overhead is irrelevant.
-            outs = [
-                mash_pairwise(
-                    ranks[wit[c]], ranks[mem[c]], k=params.kmer_size,
-                    sketch_size=params.sketch_size, dtype_name=dtype_name)
+            inter = jnp.stack([
+                mash_pairwise_inter(
+                    ranks[wit[c]], ranks[mem[c]],
+                    sketch_size=params.sketch_size)
                 for c in range(members.shape[0])
-            ]
-            return jnp.stack(outs)
+            ])
+        else:
+            def per_cluster(w_ids, m_ids):
+                return mash_pairwise_inter(
+                    ranks[w_ids], ranks[m_ids],
+                    sketch_size=params.sketch_size,
+                    impl="vmap")  # small witness banks; vmapped
 
-        def per_cluster(w_ids, m_ids):
-            bank = ranks[w_ids]
-            queries = ranks[m_ids]
-            return mash_pairwise(
-                bank, queries, k=params.kmer_size,
-                sketch_size=params.sketch_size, dtype_name=dtype_name,
-                impl="vmap")  # small witness banks; vmapped over clusters
-
-        return jax.vmap(per_cluster)(wit, mem)
+            inter = jax.vmap(per_cluster)(wit, mem)
+        # one conversion on the common [C, cmax, W] shape: integer
+        # counts are impl-independent, while the log's SIMD tail is
+        # shape-dependent on XLA:CPU — this keeps both branches
+        # bitwise identical (and identical to the pre-split vmap
+        # lowering, since vmap lowers pointwise ops to the same
+        # batched HLO).
+        return _inter_to_dist(inter, params.kmer_size,
+                              params.sketch_size, jnp.dtype(dtype_name))
     else:
         # host bank: gather the cluster's witness/member channels on the
         # host and stage one upload per cluster chunk (dc/msa.cu's

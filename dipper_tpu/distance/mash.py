@@ -226,6 +226,39 @@ def mash_rows_vs_bank(bank_ranks, query_ranks, *, k: int, sketch_size: int,
     return _inter_to_dist(inter, k, sketch_size, dtype)
 
 
+def mash_pairwise_inter(bank_ranks, query_ranks, *, sketch_size: int,
+                        impl: str = "auto"):
+    """[Na, M] bank x [Nb, M] queries -> int32 [Nb, Na] intersection
+    counts (the serial merge-walk's `inter`, src/mash.cu:426-449).
+
+    Integer counts are bitwise identical across impls and batchings, so
+    callers that must produce identical distances from differently
+    shaped dispatches (the D&C big-cluster vs vmapped-cluster split)
+    compute counts per path and apply _inter_to_dist once on a common
+    shape — float transcendentals on XLA:CPU differ by ulps between
+    SIMD bodies and scalar tails, so the same formula over [Na] vs
+    [C, cmax, W] is NOT bitwise reproducible."""
+    if impl == "auto":
+        from dipper_tpu.distance.mash_pallas import use_pallas
+
+        if use_pallas():
+            impl = "pallas"
+    if impl == "pallas":
+        from dipper_tpu.distance.mash_pallas import mash_inter_pallas
+
+        return mash_inter_pallas(
+            bank_ranks * 2 + 1, query_ranks * 2, sketch_size=sketch_size)
+    a_keys = bank_ranks * 2 + 1
+
+    def f(q):
+        b_keys = jnp.broadcast_to((q * 2)[None, :], a_keys.shape)
+        return _merged_inter_count(a_keys, b_keys, sketch_size)
+
+    if impl == "vmap":
+        return jax.vmap(f)(query_ranks)
+    return jax.lax.map(f, query_ranks)
+
+
 def mash_pairwise(bank_ranks, query_ranks, *, k: int, sketch_size: int,
                   dtype_name: str, impl: str = "auto"):
     """[Na, M] bank x [Nb, M] queries -> [Nb, Na] distances

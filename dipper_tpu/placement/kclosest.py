@@ -145,13 +145,19 @@ def update_closest_bfs(st: TreeState, leaf, num_nodes: int, label=None,
         new_id = jnp.where(before, st.cid, jnp.where(at, label, shifted_id))
         cdis = jnp.where(ok[:, None], new_cd, st.cdis)
         cid = jnp.where(ok[:, None], new_id, st.cid)
-        # propagate to dst of successful edges (unique path => no dups)
-        dst = jnp.where(ok, st.e, M)  # M = drop slot
-        nfront = jnp.zeros((M + 1,), jnp.bool_).at[dst].set(True)[:M]
-        from_node = jnp.concatenate([from_node, jnp.zeros((1,), jnp.int32)]) \
-            .at[dst].set(src)[:M]
-        distx = jnp.concatenate([distx, jnp.zeros((1,), dtype)]) \
-            .at[dst].set(d + st.length)[:M]
+        # propagate to dst of successful edges. In a tree each node is
+        # reached along its unique path, so the in-bounds dst indices
+        # are distinct: unique_indices lets XLA emit a parallel scatter
+        # (the generic may-collide scatter serializes on TPU and
+        # dominated the whole insertion loop); failures land on index M
+        # which mode='drop' discards.
+        dst = jnp.where(ok, st.e, M)  # M = out of bounds -> dropped
+        nfront = jnp.zeros((M,), jnp.bool_).at[dst].set(
+            True, mode="drop", unique_indices=True)
+        from_node = from_node.at[dst].set(
+            src, mode="drop", unique_indices=True)
+        distx = distx.at[dst].set(
+            d + st.length, mode="drop", unique_indices=True)
         return st._replace(cdis=cdis, cid=cid), nfront, from_node, distx
 
     st, _, _, _ = jax.lax.while_loop(

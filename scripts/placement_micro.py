@@ -51,7 +51,7 @@ def main():
     st0, D = build_state(n, warm)
     reps = 3
 
-    def loop(lo, hi, st, mode):
+    def loop(lo, hi, st, D, mode):
         def body(i, st):
             row = jax.lax.dynamic_index_in_dim(D, i, 0, keepdims=False)
             if mode == "row":
@@ -69,14 +69,14 @@ def main():
 
     for mode in ("row", "score", "splice", "full"):
         fn = jax.jit(loop, static_argnames=("mode",))
-        out = jax.block_until_ready(
-            fn(jnp.int32(warm), jnp.int32(warm + iters), st0, mode))
+        out = fn(jnp.int32(warm), jnp.int32(warm + iters), st0, D, mode)
+        np.asarray(out.length)  # force real completion through the tunnel
         best = 1e9
         for r in range(reps):
-            lo = warm + r  # distinct args defeat tunnel dedup
+            lo = warm + 1 + r  # distinct args defeat tunnel dedup
             t0 = time.time()
-            out = jax.block_until_ready(
-                fn(jnp.int32(lo), jnp.int32(lo + iters), st0, mode))
+            out = fn(jnp.int32(lo), jnp.int32(lo + iters), st0, D, mode)
+            np.asarray(out.length)
             best = min(best, time.time() - t0)
         print(f"{mode:8s} {best/iters*1e3:8.3f} ms/insertion "
               f"({iters} iters, best of {reps})")
