@@ -60,6 +60,14 @@ class TreeState(NamedTuple):
     cdis: jnp.ndarray     # [E, K] f closest distances (ascending)
     cid: jnp.ndarray      # [E, K] int32 closest leaf ids (-1 empty)
     idx: jnp.ndarray      # scalar int32: next free edge slot
+    # [M, 3] int32 out-edge ids per node (-1 empty): nodes of an
+    # unrooted binary tree have degree <= 3, and a splice only ever
+    # (re)writes the rows of the two NEW nodes, so maintenance is two
+    # row-sets per insertion. Lets the witness BFS touch only
+    # frontier-adjacent edges instead of all E slots (see
+    # _update_closest_bfs_compact). None on states that never run the
+    # compact BFS (the vmapped D&C local cluster builds).
+    adj: jnp.ndarray = None
 
 
 def init_state(num_sequences: int, dtype) -> TreeState:
@@ -72,6 +80,7 @@ def init_state(num_sequences: int, dtype) -> TreeState:
         cdis=jnp.full((E, K), SENT_DIS, dtype),
         cid=jnp.full((E, K), -1, jnp.int32),
         idx=jnp.int32(0),
+        adj=jnp.full((2 * num_sequences, 3), -1, jnp.int32),
     )
 
 
@@ -93,17 +102,45 @@ def build_initial_tree(st: TreeState, d01, num_sequences: int) -> TreeState:
     st = _add_edge(st, 1, 1, N, h, 3)
     st = _add_edge(st, 2, N, 0, h, 0)
     st = _add_edge(st, 3, N, 1, h, 1)
+    if st.adj is not None:
+        adj = st.adj.at[0].set(jnp.array([0, -1, -1], jnp.int32)) \
+            .at[1].set(jnp.array([1, -1, -1], jnp.int32)) \
+            .at[N].set(jnp.array([2, 3, -1], jnp.int32))
+        st = st._replace(adj=adj)
     return st._replace(idx=jnp.int32(4))
 
 
 def update_closest_bfs(st: TreeState, leaf, num_nodes: int, label=None,
                        blocked_nodes=()) -> TreeState:
-    """Frontier-parallel equivalent of updateClosestNodes
+    """Frontier equivalent of updateClosestNodes
     (src/placement_close_k.cu:86-124). `leaf` is the BFS source node;
     `label` is the id recorded in witness lists (defaults to the node —
     the D&C cluster engine uses local nodes but witness-space labels).
     `blocked_nodes` are dequeued-but-not-expanded nodes (the cluster
-    edge endpoints in updateClosestNodesInClusterDC :334)."""
+    edge endpoints in updateClosestNodesInClusterDC :334).
+
+    Dispatch: states carrying an adjacency table run the
+    frontier-compact version (work per level ~ frontier size, the only
+    asymptotically sound shape on TPU, where every random access costs
+    ~10 ns regardless of batching); adj-less states (the vmapped D&C
+    cluster builds, where a lax.cond would execute both branches per
+    lane) run the dense edge-parallel version. Both produce bitwise
+    identical states: each visited edge receives the same (d, label)
+    insert at the same position, and insertions into distinct edges
+    commute."""
+    if st.adj is not None:
+        return _update_closest_bfs_compact(st, leaf, num_nodes, label,
+                                           blocked_nodes)
+    return _update_closest_bfs_dense(st, leaf, num_nodes, label,
+                                     blocked_nodes)
+
+
+def _update_closest_bfs_dense(st: TreeState, leaf, num_nodes: int, label=None,
+                              blocked_nodes=()) -> TreeState:
+    """Edge-parallel BFS: every level relaxes all E edge slots at once.
+    O(E * depth) work — fine for small vmapped cluster trees, ruinous
+    at bank scale; kept as the vmap-safe path and the overflow fallback
+    of the compact version."""
     M = num_nodes  # = 2N
     dtype = st.length.dtype
     leaf = jnp.asarray(leaf, jnp.int32)
@@ -164,6 +201,116 @@ def update_closest_bfs(st: TreeState, leaf, num_nodes: int, label=None,
         cond, body, (st, frontier, from_node, distx)
     )
     return st
+
+
+# Frontier slots of the compact BFS. Wider fronts (possible only in
+# pathologically bushy regions that also defeat the K=5 pruning) set an
+# overflow flag and the whole BFS re-runs dense from the pre-BFS state,
+# so the cap is a performance knob, never a correctness one.
+_FRONTIER_CAP = 256
+
+
+def _update_closest_bfs_compact(st: TreeState, leaf, num_nodes: int,
+                                label=None, blocked_nodes=()) -> TreeState:
+    """Frontier-compact BFS: carries the frontier as a fixed [F] list of
+    (node, from, dist) and gathers/scatters only the <=3F edges leaving
+    it via the maintained adjacency rows — per-level work is O(F), not
+    O(E). With the witness-list pruning, measured fronts are tens wide
+    and depths ~6 even at 30K taxa, so this turns the BFS from the
+    dominant insertion cost (all-E rewrites per level) into noise."""
+    M = num_nodes
+    E = st.e.shape[0]
+    dtype = st.length.dtype
+    F = _FRONTIER_CAP
+    leaf = jnp.asarray(leaf, jnp.int32)
+    if label is None:
+        label = leaf
+    label = jnp.asarray(label, jnp.int32)
+    ids0 = jnp.full((F,), -1, jnp.int32).at[0].set(leaf)
+    frm0 = jnp.full((F,), -1, jnp.int32)
+    dst0 = jnp.zeros((F,), dtype)
+
+    def cond(c):
+        _, _, _, _, cnt, bad = c
+        return (cnt > 0) & ~bad
+
+    def body(c):
+        st, ids, frm, dist, cnt, bad = c
+        valid = jnp.arange(F, dtype=jnp.int32) < cnt
+        idsc = jnp.where(valid, ids, 0)
+        expand = valid
+        for b in blocked_nodes:
+            expand = expand & (idsc != jnp.asarray(b, jnp.int32))
+        eids = st.adj[idsc]                          # [F, 3]
+        emask = expand[:, None] & (eids >= 0)
+        eidsc = jnp.where(emask, eids, 0)
+        dstn = st.e[eidsc]                           # [F, 3]
+        emask = emask & (dstn != frm[:, None])       # no backtracking
+        d = dist[:, None]
+        cd = st.cdis[eidsc]                          # [F, 3, K]
+        cidr = st.cid[eidsc]
+        pos = jnp.sum((cd <= d[..., None]).astype(jnp.int32), axis=-1)
+        ok = emask & (pos < K)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (F, 3, K), 2)
+        before = slot < pos[..., None]
+        at = slot == pos[..., None]
+        shifted_cd = jnp.concatenate(
+            [jnp.full((F, 3, 1), SENT_DIS, dtype), cd[..., :-1]], axis=-1)
+        shifted_id = jnp.concatenate(
+            [jnp.full((F, 3, 1), -1, jnp.int32), cidr[..., :-1]], axis=-1)
+        new_cd = jnp.where(before, cd, jnp.where(at, d[..., None], shifted_cd))
+        new_id = jnp.where(before, cidr, jnp.where(at, label, shifted_id))
+        # distinct frontier nodes => distinct out-edges: unique rows
+        rows = jnp.where(ok, eidsc, E).reshape(-1)   # E = OOB -> dropped
+        cdis = st.cdis.at[rows].set(new_cd.reshape(-1, K),
+                                    mode="drop", unique_indices=True)
+        cid = st.cid.at[rows].set(new_id.reshape(-1, K),
+                                  mode="drop", unique_indices=True)
+        # next frontier: compact successful dsts by exclusive cumsum
+        nd = d + st.length[eidsc]
+        okf = ok.reshape(-1)
+        tgt = jnp.where(okf, jnp.cumsum(okf.astype(jnp.int32)) - 1, F)
+        nids = jnp.full((F,), -1, jnp.int32).at[tgt].set(
+            dstn.reshape(-1), mode="drop", unique_indices=True)
+        nfrm = jnp.full((F,), -1, jnp.int32).at[tgt].set(
+            jnp.broadcast_to(idsc[:, None], (F, 3)).reshape(-1),
+            mode="drop", unique_indices=True)
+        ndist = jnp.zeros((F,), dtype).at[tgt].set(
+            nd.reshape(-1), mode="drop", unique_indices=True)
+        ncnt = jnp.sum(okf.astype(jnp.int32)).astype(jnp.int32)
+        bad = bad | (ncnt > F)
+        return (st._replace(cdis=cdis, cid=cid), nids, nfrm, ndist,
+                jnp.minimum(ncnt, jnp.int32(F)), bad)
+
+    st_pre = st
+    stc, _, _, _, _, bad = jax.lax.while_loop(
+        cond, body, (st, ids0, frm0, dst0, jnp.int32(1), jnp.bool_(False)))
+    return jax.lax.cond(
+        bad,
+        lambda: _update_closest_bfs_dense(st_pre, leaf, M, label,
+                                          blocked_nodes),
+        lambda: stc)
+
+
+def adjacency_from_edges(belong, num_nodes: int):
+    """[M, 3] out-edge table recovered from the belong array — one-time
+    seeding for loaded backbones (--add) and pre-adj checkpoints. Sort
+    edge ids by source node, index each run; degree <= 3 in an unrooted
+    binary tree so slot overflow cannot occur on well-formed trees."""
+    E = belong.shape[0]
+    belong = jnp.asarray(belong, jnp.int32)
+    order = jnp.argsort(belong, stable=True).astype(jnp.int32)
+    b_s = belong[order]
+    idxs = jnp.arange(E, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_), b_s[1:] != b_s[:-1]])
+    run_first = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, idxs, 0))
+    slotpos = idxs - run_first
+    okm = (b_s >= 0) & (slotpos < 3)
+    rows = jnp.where(okm, b_s, num_nodes)  # OOB -> dropped
+    cols = jnp.where(okm, slotpos, 0)
+    return jnp.full((num_nodes, 3), -1, jnp.int32).at[rows, cols].set(
+        order, mode="drop", unique_indices=True)
 
 
 def score_edges(st: TreeState, dist_row, edge_mask=None):
@@ -266,7 +413,14 @@ def splice(st: TreeState, eid, frac, add, place_id, num_sequences: int,
     cid = st.cid.at[i0].set(id_i0).at[i1].set(id_i1) \
         .at[i2].set(jnp.full((K,), -1, jnp.int32)).at[i3].set(id_i3)
 
-    return TreeState(e, belong, length, rev, cdis, cid, st.idx + 4)
+    adj = st.adj
+    if adj is not None:
+        # x and y keep their edge ids (xe/ye now point at middle), so
+        # only the two NEW nodes' rows change
+        adj = adj.at[middle].set(jnp.stack([i0, i1, i3])) \
+            .at[outside].set(jnp.stack([i2, jnp.int32(-1), jnp.int32(-1)]))
+
+    return TreeState(e, belong, length, rev, cdis, cid, st.idx + 4, adj)
 
 
 # ---------------------------------------------------------------------------
@@ -515,7 +669,8 @@ def save_tree_state(path: str, st, next_i: int, num_sequences: int,
                 state_kind=type(st).__name__,
                 fingerprint=json.dumps(fingerprint or {}, sort_keys=True),
                 **{f2: np.asarray(getattr(host, f2))
-                   for f2 in type(host)._fields})
+                   for f2 in type(host)._fields
+                   if getattr(host, f2) is not None})
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
@@ -545,10 +700,14 @@ def load_tree_state(path: str, num_sequences: int, dtype,
                 "tree-state mismatch: checkpoint fingerprint "
                 f"{saved!r} != run fingerprint {want!r}; refusing to "
                 "resume on mismatched inputs")
-    missing = [f for f in cls._fields if f not in d]
+    missing = [f for f in cls._fields if f not in d and f != "adj"]
     if missing:
         raise SystemExit(f"tree-state file is missing arrays: {missing}")
-    st = cls(*(jnp.asarray(d[f]) for f in cls._fields))
+    st = cls(*(jnp.asarray(d[f]) if f in d else None for f in cls._fields))
+    if cls is TreeState and st.adj is None:
+        # pre-adjacency checkpoint: rebuild the out-edge table
+        st = st._replace(
+            adj=adjacency_from_edges(st.belong, 2 * num_sequences))
     casts = {f: getattr(st, f).astype(dtype)
              for f in ("length", "cdis") if f in cls._fields}
     st = st._replace(**casts)
@@ -586,7 +745,8 @@ def _resize_state(st: TreeState, E: int, dtype) -> TreeState:
         return st
     if cur > E:
         return TreeState(st.e[:E], st.belong[:E], st.length[:E],
-                         st.rev[:E], st.cdis[:E], st.cid[:E], st.idx)
+                         st.rev[:E], st.cdis[:E], st.cid[:E], st.idx,
+                         st.adj)  # adj is [2N, 3] node-indexed: uncapped
     p = E - cur
     return TreeState(
         jnp.concatenate([st.e, jnp.full((p,), -1, jnp.int32)]),
@@ -596,6 +756,7 @@ def _resize_state(st: TreeState, E: int, dtype) -> TreeState:
         jnp.concatenate([st.cdis, jnp.full((p, K), SENT_DIS, dtype)]),
         jnp.concatenate([st.cid, jnp.full((p, K), -1, jnp.int32)]),
         st.idx,
+        st.adj,
     )
 
 
@@ -702,6 +863,7 @@ def run_add_queries(frontend_args, e0, belong0, length0, rev0, *,
         cdis=jnp.full((E, K), SENT_DIS, dtype),
         cid=jnp.full((E, K), -1, jnp.int32),
         idx=jnp.int32(4 * B - 4),
+        adj=adjacency_from_edges(belong0, 2 * N),
     )
 
     def seed(i, st):
