@@ -520,17 +520,13 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
         g_belong[gslots[valid]] = map_b[:, 2:][valid]
         g_len[gslots[valid]] = loc_l[:, 2:][valid]
 
-    from dipper_tpu.io.newick import adjacency_newick
+    from dipper_tpu.io.newick import edge_arrays_newick
 
     global last_debug
     last_debug = {"e": g_e, "belong": g_belong, "len": g_len}
-    adj_list = [[] for _ in range(2 * N)]
-    for eid in range(E_glob):
-        if g_belong[eid] >= 0:
-            adj_list[int(g_belong[eid])].append(
-                (int(g_e[eid]), float(g_len[eid])))
-    # root = N_total + bd - 2 = N (printTreeDC :708)
-    return adjacency_newick(N, list(names), adj_list, N)
+    # root = N_total + bd - 2 = N (printTreeDC :708); adjacency grouped
+    # by one vectorized argsort instead of an O(E) Python loop
+    return edge_arrays_newick(N, list(names), g_belong, g_e, g_len, N)
 
 
 last_debug = None

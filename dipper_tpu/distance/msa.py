@@ -45,6 +45,54 @@ def build_channels(codes: np.ndarray) -> np.ndarray:
     return out
 
 
+def one_hot_channels(codes):
+    """jnp uint8 [..., L] codes -> int8 [..., 5, L] indicator channels
+    (device twin of build_channels, for on-the-fly expansion inside a
+    jit — keeps the resident bank at [N, L] bytes instead of 5x)."""
+    a = jnp.arange(4, dtype=codes.dtype)
+    eq = codes[..., None, :] == a[(None,) * (codes.ndim - 1) + (slice(None), None)]
+    ng = (codes[..., None, :] < 4)
+    return jnp.concatenate([eq, ng], axis=-2).astype(jnp.int8)
+
+
+def msa_tiled_block(codes_q, nongap_q, codes_bank, nongap_bank, *,
+                    distance_type: int, dtype_name: str,
+                    bank_tile: int = 4096):
+    """[B, L] query codes x [Nb, L] bank codes -> [B, Nb] distances.
+
+    The bank is kept as packed codes in HBM (1 byte/base); each tile of
+    `bank_tile` rows is one-hot expanded on the fly and pushed through
+    the same MXU pair-count matmul as _block_distance — peak transient
+    is one [tile, 5, L] int8 block instead of a resident [N, 5, L] bank
+    (5 GB at 100K x 10kb, the round-3 OOM wall for `-i m` placement).
+    Identical math per pair => identical distances/trees."""
+    L = codes_q.shape[1]
+    Nb = codes_bank.shape[0]
+    T = min(bank_tile, Nb)
+    pad = (-Nb) % T
+    if pad:
+        codes_bank = jnp.concatenate(
+            [codes_bank, jnp.broadcast_to(codes_bank[-1:],
+                                          (pad, L))], axis=0)
+        nongap_bank = jnp.concatenate(
+            [nongap_bank, jnp.broadcast_to(nongap_bank[-1:], (pad,))])
+    ntiles = (Nb + pad) // T
+    phi_q = one_hot_channels(codes_q)
+
+    def tile(s):
+        cb = jax.lax.dynamic_slice_in_dim(codes_bank, s * T, T, axis=0)
+        ngb = jax.lax.dynamic_slice_in_dim(nongap_bank, s * T, T, axis=0)
+        return _block_distance(
+            phi_q, one_hot_channels(cb), nongap_q, ngb,
+            distance_type=distance_type, dtype_name=dtype_name, seq_len=L)
+
+    if ntiles == 1:
+        return tile(jnp.int32(0))[:, :Nb]
+    tiles = jax.lax.map(tile, jnp.arange(ntiles, dtype=jnp.int32))
+    B = codes_q.shape[0]
+    return jnp.moveaxis(tiles, 0, 1).reshape(B, ntiles * T)[:, :Nb]
+
+
 @functools.partial(jax.jit, static_argnames=("distance_type", "dtype_name", "seq_len"))
 def _block_distance(phi_i, phi_j, nongap_i, nongap_j, *, distance_type,
                     dtype_name, seq_len):

@@ -151,6 +151,59 @@ def write_newick(tree: Tree) -> str:
     return "".join(out)
 
 
+def edge_arrays_newick(num_leaves: int, names: List[str], belong, e,
+                       length, root: int) -> str:
+    """Serialize directly from flat edge arrays (belong=src, e=dst,
+    length) without materializing a per-node Python adjacency list —
+    the grouping is one vectorized argsort-by-source (CSR layout), so
+    the only Python-rate work left is the DFS emit itself. Bitwise
+    identical output to adjacency_newick over the same edges: a stable
+    sort preserves edge-id order within each source node, which is the
+    adjacency order the device printTree recursion uses."""
+    import numpy as np
+
+    belong = np.asarray(belong)
+    e = np.asarray(e)
+    length = np.asarray(length, dtype=np.float64)
+    ok = (belong >= 0) & (e >= 0)
+    src = belong[ok]
+    dst = e[ok]
+    ln = length[ok]
+    order = np.argsort(src, kind="stable")
+    dst = dst[order]
+    ln = ln[order]
+    counts = np.bincount(src[order], minlength=2 * num_leaves)
+    starts = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+
+    out: List[str] = []
+    dst_l = dst.tolist()
+    ln_l = ln.tolist()
+    starts_l = starts.tolist()
+    # frames: (node, parent, None | (child_edge_slots, next_child))
+    stack = [(root, -1, None)]
+    while stack:
+        node, parent, it = stack.pop()
+        if it is None:
+            s, t = starts_l[node], starts_l[node + 1]
+            nbrs = [i for i in range(s, t) if dst_l[i] != parent]
+            if not nbrs:
+                out.append(names[node])
+                continue
+            out.append("(")
+            it = (nbrs, 0)
+        nbrs, i = it
+        if i > 0:
+            out.append(":")
+            out.append(_fmt(ln_l[nbrs[i - 1]]))
+            out.append(")" if i == len(nbrs) else ",")
+        if i < len(nbrs):
+            stack.append((node, parent, (nbrs, i + 1)))
+            stack.append((dst_l[nbrs[i]], node, None))
+    out.append(";")
+    return "".join(out)
+
+
 def adjacency_newick(num_leaves: int, names: List[str], edges, root: int) -> str:
     """Serialize from a (node -> [(child, bl), ...]) adjacency structure,
     mirroring the device printTree recursion: node ids < num_leaves are

@@ -48,15 +48,11 @@ def init_distributed(coordinator: str | None = None,
         process_id = int(os.environ["DIPPER_PROCESS_ID"])
     if coordinator is None and num_processes is None:
         return 0, 1
-    kw = {}
+    kw = dict(coordinator_address=coordinator,
+              num_processes=num_processes, process_id=process_id)
     if local_device_count is not None:
-        kw["num_processes"] = num_processes
         kw["local_device_ids"] = list(range(local_device_count))
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    jax.distributed.initialize(**kw)
     return jax.process_index(), jax.process_count()
 
 

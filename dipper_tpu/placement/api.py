@@ -62,14 +62,16 @@ def _mash_frontend(seqs, params: Param, log=None):
 
 
 def _msa_frontend(seqs, params: Param):
-    from dipper_tpu.distance.msa import build_channels
+    """Packed 4-bit codes stay the resident bank ([N, L] bytes; the
+    one-hot channels are expanded per tile inside the jit —
+    distance/msa.py msa_tiled_block — so `-i m` placement survives
+    100K x 10kb instead of holding a 5 GB [N,5,L] bank)."""
     from dipper_tpu.io.encode import batch_codes, encode_4bit_codes
 
     codes, _ = batch_codes(seqs, encode_4bit_codes, pad_value=4)
-    phi = build_channels(codes)
-    nongap = phi[:, 4, :].sum(axis=1)
+    nongap = (codes < 4).sum(axis=1)
     return (
-        (jnp.asarray(phi), jnp.asarray(nongap, jnp.dtype(params.dtype))),
+        (jnp.asarray(codes), jnp.asarray(nongap, jnp.dtype(params.dtype))),
         (params.distance_type,),
     )
 
@@ -187,12 +189,20 @@ def add_queries_to_backbone(tree, seqs, names, params: Param,
         raise SystemExit(1)
     dtype = jnp.dtype(params.dtype)
     e0, belong0, length0, rev0 = backbone_tree_to_arrays(tree, n, dtype)
+    # multifurcating backbones (legal Newick, handled by the reference's
+    # linked-list adjacency) have out-degree > 3 and would overflow the
+    # [M,3] compact-BFS table — route them through the dense BFS
+    max_deg = int(np.bincount(belong0[belong0 >= 0]).max(initial=0))
+    if max_deg > 3 and log:
+        log(f"Backbone has multifurcations (max degree {max_deg}); "
+            "using dense witness BFS")
     e, belong, length = kclosest.run_add_queries(
         frontend_args,
         jnp.asarray(e0), jnp.asarray(belong0),
         jnp.asarray(length0, dtype), jnp.asarray(rev0),
         num_sequences=n, backbone_size=backbone_size, frontend=frontend,
         frontend_static=frontend_static, dtype_name=_dtype_name(params),
+        use_adj=(max_deg <= 3),
     )
     return kclosest.edges_to_newick(*jax.device_get((e, belong, length)),
                                     names, n)

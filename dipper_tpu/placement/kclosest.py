@@ -186,9 +186,12 @@ def _update_closest_bfs_dense(st: TreeState, leaf, num_nodes: int, label=None,
         # reached along its unique path, so the in-bounds dst indices
         # are distinct: unique_indices lets XLA emit a parallel scatter
         # (the generic may-collide scatter serializes on TPU and
-        # dominated the whole insertion loop); failures land on index M
-        # which mode='drop' discards.
-        dst = jnp.where(ok, st.e, M)  # M = out of bounds -> dropped
+        # dominated the whole insertion loop); failures land on
+        # distinct out-of-bounds indices M+slot which mode='drop'
+        # discards — distinct so unique_indices holds even for the
+        # dropped set (XLA documents non-unique indices as UB).
+        E_ = st.e.shape[0]
+        dst = jnp.where(ok, st.e, M + jnp.arange(E_, dtype=jnp.int32))
         nfront = jnp.zeros((M,), jnp.bool_).at[dst].set(
             True, mode="drop", unique_indices=True)
         from_node = from_node.at[dst].set(
@@ -260,8 +263,10 @@ def _update_closest_bfs_compact(st: TreeState, leaf, num_nodes: int,
             [jnp.full((F, 3, 1), -1, jnp.int32), cidr[..., :-1]], axis=-1)
         new_cd = jnp.where(before, cd, jnp.where(at, d[..., None], shifted_cd))
         new_id = jnp.where(before, cidr, jnp.where(at, label, shifted_id))
-        # distinct frontier nodes => distinct out-edges: unique rows
-        rows = jnp.where(ok, eidsc, E).reshape(-1)   # E = OOB -> dropped
+        # distinct frontier nodes => distinct out-edges: unique rows;
+        # dropped slots get distinct OOB indices E+slot (see dense BFS)
+        oob_e = E + jnp.arange(F * 3, dtype=jnp.int32).reshape(F, 3)
+        rows = jnp.where(ok, eidsc, oob_e).reshape(-1)
         cdis = st.cdis.at[rows].set(new_cd.reshape(-1, K),
                                     mode="drop", unique_indices=True)
         cid = st.cid.at[rows].set(new_id.reshape(-1, K),
@@ -269,7 +274,8 @@ def _update_closest_bfs_compact(st: TreeState, leaf, num_nodes: int,
         # next frontier: compact successful dsts by exclusive cumsum
         nd = d + st.length[eidsc]
         okf = ok.reshape(-1)
-        tgt = jnp.where(okf, jnp.cumsum(okf.astype(jnp.int32)) - 1, F)
+        tgt = jnp.where(okf, jnp.cumsum(okf.astype(jnp.int32)) - 1,
+                        F + jnp.arange(F * 3, dtype=jnp.int32))
         nids = jnp.full((F,), -1, jnp.int32).at[tgt].set(
             dstn.reshape(-1), mode="drop", unique_indices=True)
         nfrm = jnp.full((F,), -1, jnp.int32).at[tgt].set(
@@ -307,7 +313,8 @@ def adjacency_from_edges(belong, num_nodes: int):
         jnp.maximum, jnp.where(first, idxs, 0))
     slotpos = idxs - run_first
     okm = (b_s >= 0) & (slotpos < 3)
-    rows = jnp.where(okm, b_s, num_nodes)  # OOB -> dropped
+    # dropped entries get distinct OOB rows so unique_indices holds
+    rows = jnp.where(okm, b_s, num_nodes + idxs)
     cols = jnp.where(okm, slotpos, 0)
     return jnp.full((num_nodes, 3), -1, jnp.int32).at[rows, cols].set(
         order, mode="drop", unique_indices=True)
@@ -447,19 +454,17 @@ def make_mash_row_fn(ranks_pad, k: int, sketch_size: int, dtype_name: str):
     return row
 
 
-def make_msa_row_fn(phi, nongap, distance_type: int, dtype_name: str):
-    """phi int8 [N,5,L], nongap [N]. Row i vs all j via one MXU matmul."""
-    from dipper_tpu.distance.msa import _block_distance
-
-    N = phi.shape[0]
-    L = phi.shape[2]
+def make_msa_row_fn(codes, nongap, distance_type: int, dtype_name: str):
+    """codes uint8 [N,L] (packed bank), nongap [N]. Row i vs all j via
+    tiled one-hot + MXU matmul (msa_tiled_block)."""
+    from dipper_tpu.distance.msa import msa_tiled_block
 
     def row(i):
-        phi_i = jax.lax.dynamic_slice_in_dim(phi, i, 1, axis=0)
+        c_i = jax.lax.dynamic_slice_in_dim(codes, i, 1, axis=0)
         ng_i = jax.lax.dynamic_slice_in_dim(nongap, i, 1, axis=0)
-        blk = _block_distance(
-            phi_i, phi, ng_i, nongap,
-            distance_type=distance_type, dtype_name=dtype_name, seq_len=L,
+        blk = msa_tiled_block(
+            c_i, ng_i, codes, nongap,
+            distance_type=distance_type, dtype_name=dtype_name,
         )
         return blk[0]
     return row
@@ -507,20 +512,19 @@ def _make_block_fn(frontend_args, frontend: str, frontend_static,
 
         return block
     if frontend == "msa":
-        from dipper_tpu.distance.msa import _block_distance
+        from dipper_tpu.distance.msa import msa_tiled_block
 
-        phi, nongap = frontend_args
+        codes, nongap = frontend_args
         (distance_type,) = frontend_static
-        L = phi.shape[2]
-        phis = _pad_rows_to(phi, n_pad)
+        cs = _pad_rows_to(codes, n_pad)
         ngs = _pad_rows_to(nongap, n_pad)
 
         def block(start):
-            phi_b = jax.lax.dynamic_slice_in_dim(phis, start, B, axis=0)
+            c_b = jax.lax.dynamic_slice_in_dim(cs, start, B, axis=0)
             ng_b = jax.lax.dynamic_slice_in_dim(ngs, start, B, axis=0)
-            return _block_distance(
-                phi_b, phi, ng_b, nongap, distance_type=distance_type,
-                dtype_name=dtype_name, seq_len=L,
+            return msa_tiled_block(
+                c_b, ng_b, codes, nongap, distance_type=distance_type,
+                dtype_name=dtype_name,
             )
 
         return block
@@ -705,9 +709,15 @@ def load_tree_state(path: str, num_sequences: int, dtype,
         raise SystemExit(f"tree-state file is missing arrays: {missing}")
     st = cls(*(jnp.asarray(d[f]) if f in d else None for f in cls._fields))
     if cls is TreeState and st.adj is None:
-        # pre-adjacency checkpoint: rebuild the out-edge table
-        st = st._replace(
-            adj=adjacency_from_edges(st.belong, 2 * num_sequences))
+        # pre-adjacency checkpoint: rebuild the out-edge table — only
+        # if out-degree <= 3 everywhere (a multifurcating backbone
+        # would overflow the 3-slot rows; dense BFS handles it instead)
+        bel = np.asarray(d["belong"])
+        deg_ok = (np.bincount(bel[bel >= 0]).max(initial=0) <= 3
+                  if (bel >= 0).any() else True)
+        if deg_ok:
+            st = st._replace(
+                adj=adjacency_from_edges(st.belong, 2 * num_sequences))
     casts = {f: getattr(st, f).astype(dtype)
              for f in ("length", "cdis") if f in cls._fields}
     st = st._replace(**casts)
@@ -768,8 +778,8 @@ def _slice_frontend(frontend_args, frontend: str, cap: int):
         (D,) = frontend_args
         return (D[:cap, :cap],)
     if frontend == "msa":
-        phi, nongap = frontend_args
-        return (phi[:cap], nongap[:cap])
+        codes, nongap = frontend_args
+        return (codes[:cap], nongap[:cap])
     return frontend_args
 
 
@@ -837,23 +847,29 @@ def _make_row_fn(frontend_args, frontend: str, frontend_static, dtype_name: str)
         k, sketch_size = frontend_static
         return make_mash_row_fn(ranks_pad, k, sketch_size, dtype_name)
     if frontend == "msa":
-        phi, nongap = frontend_args
+        codes, nongap = frontend_args
         (distance_type,) = frontend_static
-        return make_msa_row_fn(phi, nongap, distance_type, dtype_name)
+        return make_msa_row_fn(codes, nongap, distance_type, dtype_name)
     raise ValueError(frontend)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_sequences", "backbone_size", "frontend",
-                     "frontend_static", "dtype_name"),
+                     "frontend_static", "dtype_name", "use_adj"),
 )
 def run_add_queries(frontend_args, e0, belong0, length0, rev0, *,
                     num_sequences: int, backbone_size: int, frontend: str,
-                    frontend_static=(), dtype_name: str):
+                    frontend_static=(), dtype_name: str, use_adj: bool = True):
     """--add: seed closest lists from the loaded backbone (BFS per
     backbone leaf, initializeDeviceArrays :241-260), then insert
-    queries i = B..N-1 with the edge cursor at 4B-4 (addQuery :887)."""
+    queries i = B..N-1 with the edge cursor at 4B-4 (addQuery :887).
+
+    `use_adj=False` skips the [M,3] adjacency table and runs the dense
+    BFS throughout — required for multifurcating backbones (parse_newick
+    accepts them, as does the reference's linked-list adjacency,
+    src/mash_placement.cuh head/nxt), whose out-degree >3 would silently
+    overflow the 3-slot table. The caller checks degrees host-side."""
     N = num_sequences
     B = backbone_size
     dtype = jnp.dtype(dtype_name)
@@ -863,7 +879,7 @@ def run_add_queries(frontend_args, e0, belong0, length0, rev0, *,
         cdis=jnp.full((E, K), SENT_DIS, dtype),
         cid=jnp.full((E, K), -1, jnp.int32),
         idx=jnp.int32(4 * B - 4),
-        adj=adjacency_from_edges(belong0, 2 * N),
+        adj=adjacency_from_edges(belong0, 2 * N) if use_adj else None,
     )
 
     def seed(i, st):
@@ -882,18 +898,13 @@ def run_add_queries(frontend_args, e0, belong0, length0, rev0, *,
 
 def edges_to_newick(e, belong, length, names, num_sequences: int,
                     root: int | None = None) -> str:
-    """Rebuild adjacency host-side and serialize (printTree recursion,
-    src/placement_close_k.cu:568-643; root = node N)."""
-    from dipper_tpu.io.newick import adjacency_newick
+    """Serialize the edge arrays (printTree recursion,
+    src/placement_close_k.cu:568-643; root = node N). Adjacency
+    grouping is one vectorized argsort — no per-edge Python loop (4M
+    interpreter iterations at N=1M otherwise)."""
+    from dipper_tpu.io.newick import edge_arrays_newick
 
-    e = np.asarray(e)
-    belong = np.asarray(belong)
-    length = np.asarray(length, dtype=np.float64)
     N = num_sequences
-    adj = [[] for _ in range(2 * N)]
-    for eid in range(len(e)):
-        if belong[eid] >= 0 and e[eid] >= 0:
-            adj[belong[eid]].append((int(e[eid]), float(length[eid])))
     if root is None:
         root = N
-    return adjacency_newick(N, names, adj, root)
+    return edge_arrays_newick(N, names, belong, e, length, root)

@@ -29,3 +29,9 @@ if not os.environ.get("DIPPER_TEST_TPU"):
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/dipper_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running scale tests (deselect with "
+        "-m 'not slow')")

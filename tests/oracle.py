@@ -376,6 +376,13 @@ class KPlacementOracle:
         for eid in range(self.idx):
             if self.belong[eid] < self.e[eid]:
                 continue
+            # empty gap slots (belong=e=-1) exist when a multifurcating
+            # backbone has fewer than 4B-4 directed edges; the reference
+            # kernel hits UB here (walks head[-1], placement_close_k.cu
+            # :339-340) — we define them as invalid, like the engine's
+            # belong>e guard
+            if self.belong[eid] == -1:
+                continue
             x, oth = self.belong[eid], self.e[eid]
             dis1 = 0.0
             for j in range(K):

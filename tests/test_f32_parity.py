@@ -48,19 +48,17 @@ def test_nj_f32_topology():
 
 
 def test_kclosest_msa_f32_topology():
-    from dipper_tpu.distance.msa import build_channels
     from dipper_tpu.io.encode import batch_codes, encode_4bit_codes
 
     rng = np.random.default_rng(31)
     names, seqs = simulate_alignment(40, 1200, rng)
     codes, _ = batch_codes(seqs, encode_4bit_codes, pad_value=4)
-    phi = build_channels(codes)
-    nongap64 = jnp.asarray(phi[:, 4, :].sum(axis=1), jnp.float64)
+    nongap64 = jnp.asarray((codes < 4).sum(axis=1), jnp.float64)
     n = len(seqs)
 
     def build(dtype_name, nongap):
         e, b, l = kclosest.run_placement(
-            (jnp.asarray(phi), nongap), num_sequences=n, frontend="msa",
+            (jnp.asarray(codes), nongap), num_sequences=n, frontend="msa",
             frontend_static=(2,), dtype_name=dtype_name)
         return _newick_k(e, b, l, names, n)
 

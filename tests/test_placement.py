@@ -143,6 +143,43 @@ def test_add_queries_matches_oracle():
     assert rf == 0
 
 
+def test_add_queries_multifurcating_backbone():
+    """A degree-4 backbone node cannot live in the [M,3] adjacency
+    table; the --add path must detect it and run the dense witness BFS
+    (regression: the compact BFS silently dropped the 4th out-edge)."""
+    from dipper_tpu.io.newick import parse_newick
+    from dipper_tpu.placement.api import backbone_tree_to_arrays
+
+    n, B = 10, 4
+    backbone_nwk = "(L0:0.05,L1:0.08,L2:0.06,L3:0.07);"
+    tree = parse_newick(backbone_nwk, total_leaves=n)
+    assert tree.num_leaves == B
+
+    rng = np.random.default_rng(11)
+    D = _scale(random_additive_matrix(n, rng))
+
+    o = KPlacementOracle(n)
+    o.init_from_tree(tree, B)
+    o.run(lambda i: D[i], start=B, initial=False)
+    names = [f"L{i}" for i in range(n)]
+    want = o.to_newick(names)
+
+    e0, belong0, length0, rev0 = backbone_tree_to_arrays(tree, n, np.float64)
+    max_deg = int(np.bincount(belong0[belong0 >= 0]).max(initial=0))
+    assert max_deg > 3  # the case the compact table cannot represent
+    e, belong, length = kclosest.run_add_queries(
+        (jnp.asarray(D, jnp.float64),),
+        jnp.asarray(e0), jnp.asarray(belong0), jnp.asarray(length0),
+        jnp.asarray(rev0),
+        num_sequences=n, backbone_size=B, frontend="matrix",
+        dtype_name="float64", use_adj=False,
+    )
+    got = kclosest.edges_to_newick(*jax.device_get((e, belong, length)),
+                                   names, n)
+    rf, _ = rf_distance(got, want)
+    assert rf == 0
+
+
 def test_chunked_matches_oneshot_and_resumes(tmp_path):
     """Chunked dispatch == one-shot build bitwise; an interrupted run
     resumes from the .npz checkpoint to the identical tree."""
