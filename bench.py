@@ -72,7 +72,20 @@ def bench_dist(n, L, k, ss):
     _ = np.asarray(sk[0, :1])  # force execution
     dt = time.time() - t0
     kmer_rate = n * (L - k + 1) / dt / 1e6
-    _log(f"[bench] sketched in {dt:.1f}s ({kmer_rate:.1f} M kmers/s)")
+    _log(f"[bench] device-sketched in {dt:.1f}s ({kmer_rate:.1f} M kmers/s)")
+
+    # production ingest path: the native host sketcher (what the CLI
+    # mash frontend actually uses — sketch/bank.py)
+    native_rate = None
+    from dipper_tpu.sketch.native import sketch_sequences_native
+
+    t0 = time.time()
+    skn = sketch_sequences_native(seqs, k, ss)
+    if skn is not None:
+        dtn = time.time() - t0
+        native_rate = n * (L - k + 1) / dtn / 1e6
+        _log(f"[bench] native-sketched in {dtn:.1f}s "
+             f"({native_rate:.1f} M kmers/s) [production ingest path]")
 
     ranks = pad_ranks(rank_compress(jnp.asarray(sk)))
     ranks.block_until_ready()
@@ -90,7 +103,7 @@ def bench_dist(n, L, k, ss):
     pairs = n * n
     rate = pairs / dt
     _log(f"[bench] {pairs//2} pairwise distances in {dt:.2f}s")
-    return rate, kmer_rate
+    return rate, kmer_rate, native_rate
 
 
 def bench_tree(n, L, k, ss):
@@ -136,9 +149,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _log(f"[bench] devices: {jax.devices()}")
 
-    rate = kmer_rate = tree_s = None
+    rate = kmer_rate = tree_s = native_rate = None
     if mode in ("all", "dist"):
-        rate, kmer_rate = bench_dist(n, L, k, ss)
+        rate, kmer_rate, native_rate = bench_dist(n, L, k, ss)
     if mode in ("all", "tree"):
         tree_s = bench_tree(tree_n, L, k, ss)
 
@@ -172,6 +185,8 @@ def main():
             "vs_baseline": round(vs, 3),
             "sketch_mkmers_per_s": round(kmer_rate, 1),
         }
+        if native_rate is not None:
+            out["native_sketch_mkmers_per_s"] = round(native_rate, 1)
         if tree_s is not None:
             out["time_to_tree_s"] = round(tree_s, 2)
             out["time_to_tree_n"] = tree_n

@@ -83,14 +83,13 @@ def _phase2_chunk_matrix(state: TreeState, Dm, q_ids, *, backbone_size):
 
 
 @functools.partial(jax.jit, static_argnames=("distance_type", "dtype_name"))
-def _phase2_chunk_msa(state: TreeState, phi_backbone, nongap_backbone,
-                      phi_q, nongap_q, *, distance_type, dtype_name):
-    from dipper_tpu.distance.msa import _block_distance
+def _phase2_chunk_msa(state: TreeState, codes_backbone, nongap_backbone,
+                      codes_q, nongap_q, *, distance_type, dtype_name):
+    from dipper_tpu.distance.msa import msa_tiled_block
 
-    L = phi_backbone.shape[2]
-    blk = _block_distance(
-        phi_q, phi_backbone, nongap_q, nongap_backbone,
-        distance_type=distance_type, dtype_name=dtype_name, seq_len=L,
+    blk = msa_tiled_block(
+        codes_q, nongap_q, codes_backbone, nongap_backbone,
+        distance_type=distance_type, dtype_name=dtype_name,
     )  # [chunk, B]
 
     def one(row):
@@ -126,6 +125,78 @@ def _new_group_scoreable() -> np.ndarray:
     return np.array([True, True, False, True])
 
 
+def _cluster_init_state(cd_init, cid_init, lens_init, cmax: int, dtype,
+                        with_adj: bool) -> TreeState:
+    """Initial local cluster tree: nodes 0,1 = cluster-edge endpoints,
+    edges 0/1 the two directions. `with_adj` states run the
+    frontier-compact witness BFS (the per-cluster streaming path);
+    adj-less states run the dense BFS (required under vmap)."""
+    E = 2 + 4 * cmax
+    Mn = 2 + 2 * cmax
+    adj = None
+    if with_adj:
+        adj = jnp.full((Mn, 3), -1, jnp.int32) \
+            .at[0, 0].set(0).at[1, 0].set(1)
+    return TreeState(
+        e=jnp.full((E,), -1, jnp.int32).at[0].set(1).at[1].set(0),
+        belong=jnp.full((E,), -1, jnp.int32).at[0].set(0).at[1].set(1),
+        length=jnp.zeros((E,), dtype).at[0].set(lens_init[0]).at[1].set(lens_init[1]),
+        cdis=jnp.full((E, K), SENT_DIS, dtype).at[0].set(cd_init[0]).at[1].set(cd_init[1]),
+        cid=jnp.full((E, K), -1, jnp.int32).at[0].set(cid_init[0]).at[1].set(cid_init[1]),
+        rev=jnp.full((E,), -1, jnp.int32).at[0].set(1).at[1].set(0),
+        idx=jnp.int32(2),
+        adj=adj,
+    )
+
+
+def _cluster_step(kq, row, st, scoreable, perm, pos_group, grp, cmax: int,
+                  dtype):
+    """One query insertion of the local cluster build: masked-edge
+    scoring (calculateBranchLengthSpecialIDDC :180-234), splice, witness
+    BFS with endpoint blocking (updateClosestNodesInClusterDC :312-356)."""
+    Mn = 2 + 2 * cmax
+    # per-edge score in natural local order
+    ids = jnp.maximum(st.cid, 0)
+    dv = jnp.where(st.cid != -1, row[ids] - st.cdis, -jnp.inf)
+    side = jnp.maximum(jnp.max(dv, axis=1), 0.0)
+    dis1 = side
+    dis2 = side[jnp.maximum(st.rev, 0)]
+    L = st.length
+    addi = jnp.maximum((dis1 + dis2 - L) * 0.5, 0.0)
+    dis1 = jnp.maximum(dis1 - addi, 0.0)
+    dis2 = jnp.maximum(dis2 - addi, 0.0)
+    addi = addi + jnp.maximum(dis1 - L, 0.0) + jnp.maximum(dis2 - L, 0.0)
+    dis1 = jnp.minimum(dis1, L)
+    rest = L - dis1 - jnp.minimum(dis2, L)
+    dis1 = dis1 + rest * 0.5
+    # permute to mask order; a group's edges become scoreable only
+    # after its insertion (g < kq); positions 0/1 always exist
+    valid_pos = scoreable[perm] & ((pos_group < kq) | (pos_group < 0))
+    score_m = jnp.where(valid_pos, addi[perm], jnp.asarray(SENT_DIS, dtype))
+    frac_m = jnp.where(valid_pos, dis1[perm], 0.0)
+    pos = jnp.argmin(score_m).astype(jnp.int32)
+    eid = perm[pos]
+    frac = frac_m[pos]
+    add = score_m[pos]
+    middle = 2 + cmax + kq
+    outside = 2 + kq
+    ye = st.rev[eid]
+    st = kclosest.splice(st, eid, frac, add, outside, 0,
+                         middle=middle, outside=outside)
+    base = 2 + 4 * kq
+    scoreable = scoreable.at[eid].set(False).at[ye].set(False)
+    scoreable = jax.lax.dynamic_update_slice(scoreable, grp, (base,))
+    # endpoint block: the reference reads e[cluster_eid] /
+    # belong[cluster_eid] at BFS-launch time (:329) — after the
+    # first splice onto the cluster edge that's (x, first middle),
+    # not the original endpoints. Slot 0 is the cluster edge.
+    st = kclosest.update_closest_bfs(
+        st, outside, Mn, label=10 + kq,
+        blocked_nodes=(st.belong[0], st.e[0]),
+    )
+    return st, scoreable
+
+
 @functools.partial(jax.jit, static_argnames=("cmax", "dtype_name"))
 def _cluster_build(Dq, cd_init, cid_init, lens_init, sz, *, cmax: int,
                    dtype_name: str):
@@ -134,20 +205,8 @@ def _cluster_build(Dq, cd_init, cid_init, lens_init, sz, *, cmax: int,
     two cluster-edge directions; lens_init [2]; sz = real member count.
     Returns local (e, belong, length) with E = 2+4cmax slots."""
     dtype = jnp.dtype(dtype_name)
-    E = 2 + 4 * cmax
-    Mn = 2 + 2 * cmax           # local nodes: 0,1 endpoints; 2+k leaf; 2+cmax+k middle
-    W = 10 + cmax
-
-    st = TreeState(
-        e=jnp.full((E,), -1, jnp.int32).at[0].set(1).at[1].set(0),
-        belong=jnp.full((E,), -1, jnp.int32).at[0].set(0).at[1].set(1),
-        length=jnp.zeros((E,), dtype).at[0].set(lens_init[0]).at[1].set(lens_init[1]),
-        rev=jnp.full((E,), -1, jnp.int32).at[0].set(1).at[1].set(0),
-        cdis=jnp.full((E, K), SENT_DIS, dtype).at[0].set(cd_init[0]).at[1].set(cd_init[1]),
-        cid=jnp.full((E, K), -1, jnp.int32).at[0].set(cid_init[0]).at[1].set(cid_init[1]),
-        idx=jnp.int32(2),
-    )
-
+    st = _cluster_init_state(cd_init, cid_init, lens_init, cmax, dtype,
+                             with_adj=False)
     perm = jnp.asarray(_mask_order_perm(cmax))
     pos_group = jnp.concatenate(
         [jnp.array([-1, -1], jnp.int32),
@@ -156,60 +215,97 @@ def _cluster_build(Dq, cd_init, cid_init, lens_init, sz, *, cmax: int,
     # dynamic belong>e flags in GLOBAL id terms: the cluster-edge
     # direction starts scoreable; a splice makes both halves of the
     # split edge point at the new middle (largest id) -> unscoreable
-    scoreable0 = jnp.zeros((E,), jnp.bool_).at[0].set(True)
+    scoreable0 = jnp.zeros((2 + 4 * cmax,), jnp.bool_).at[0].set(True)
     grp = jnp.asarray(_new_group_scoreable())
 
     def body(kq, carry):
         st, scoreable = carry
-        row = Dq[kq]
-        # per-edge score in natural local order
-        ids = jnp.maximum(st.cid, 0)
-        dv = jnp.where(st.cid != -1, row[ids] - st.cdis, -jnp.inf)
-        side = jnp.maximum(jnp.max(dv, axis=1), 0.0)
-        dis1 = side
-        dis2 = side[jnp.maximum(st.rev, 0)]
-        L = st.length
-        addi = jnp.maximum((dis1 + dis2 - L) * 0.5, 0.0)
-        dis1 = jnp.maximum(dis1 - addi, 0.0)
-        dis2 = jnp.maximum(dis2 - addi, 0.0)
-        addi = addi + jnp.maximum(dis1 - L, 0.0) + jnp.maximum(dis2 - L, 0.0)
-        dis1 = jnp.minimum(dis1, L)
-        rest = L - dis1 - jnp.minimum(dis2, L)
-        dis1 = dis1 + rest * 0.5
-        # permute to mask order; a group's edges become scoreable only
-        # after its insertion (g < kq); positions 0/1 always exist
-        score_nat = addi
-        frac_nat = dis1
-        valid_pos = scoreable[perm] & ((pos_group < kq) | (pos_group < 0))
-        score_m = jnp.where(valid_pos, score_nat[perm],
-                            jnp.asarray(SENT_DIS, dtype))
-        frac_m = jnp.where(valid_pos, frac_nat[perm], 0.0)
-        pos = jnp.argmin(score_m).astype(jnp.int32)
-        eid = perm[pos]
-        frac = frac_m[pos]
-        add = score_m[pos]
-        middle = 2 + cmax + kq
-        outside = 2 + kq
-        ye = st.rev[eid]
-        st = kclosest.splice(st, eid, frac, add, outside, 0,
-                             middle=middle, outside=outside)
-        base = 2 + 4 * kq
-        scoreable = scoreable.at[eid].set(False).at[ye].set(False)
-        scoreable = jax.lax.dynamic_update_slice(scoreable, grp, (base,))
-        # endpoint block: the reference reads e[cluster_eid] /
-        # belong[cluster_eid] at BFS-launch time (:329) — after the
-        # first splice onto the cluster edge that's (x, first middle),
-        # not the original endpoints. Slot 0 is the cluster edge.
-        st = kclosest.update_closest_bfs(
-            st, outside, Mn, label=10 + kq,
-            blocked_nodes=(st.belong[0], st.e[0]),
-        )
-        return st, scoreable
+        return _cluster_step(kq, Dq[kq], st, scoreable, perm, pos_group,
+                             grp, cmax, dtype)
 
     def masked_body(kq, carry):
         return jax.lax.cond(kq < sz, lambda c: body(kq, c), lambda c: c, carry)
 
     st, _ = jax.lax.fori_loop(0, cmax, masked_body, (st, scoreable0))
+    return st.e, st.belong, st.length
+
+
+# Row block of the streaming big-cluster build (distance rows computed
+# on demand instead of a [cmax, W] precompute).
+_STREAM_ROW_BLOCK = 256
+
+
+@functools.partial(jax.jit, static_argnames=("cmax", "dtype_name", "kmer",
+                                             "sketch_size", "row_block"))
+def _cluster_build_stream_mash(ranks, wit_ids, mem_ids, cd_init, cid_init,
+                               lens_init, sz, *, cmax: int, dtype_name: str,
+                               kmer: int, sketch_size: int,
+                               row_block: int = _STREAM_ROW_BLOCK):
+    """Single huge-cluster build with STREAMED distance rows.
+
+    The vmapped/per-cluster paths precompute Dq [cmax, W~cmax] — a
+    quadratic tensor that is ~10 GB for one 50K-query cluster (the
+    N=100K phase-3 ResourceExhausted). The reference never holds this:
+    it computes each query's row against the masked leaf list on the
+    fly (distSpecialIDConstructionOnGpuDC :559-601). This build does
+    the TPU equivalent — _STREAM_ROW_BLOCK query rows at a time from
+    the rank bank inside the insertion fori_loop (peak [256, W]) — and
+    carries an adjacency table so the witness BFS is frontier-compact
+    (O(frontier) per level, not O(E); E = 4*cmax here).
+
+    Distances use the same integer-intersection kernel + the same
+    _inter_to_dist formula, so counts are bitwise identical to the
+    precomputed paths (float conversion on TPU is elementwise and
+    shape-independent)."""
+    from dipper_tpu.distance.mash import _inter_to_dist, mash_pairwise_inter
+
+    dtype = jnp.dtype(dtype_name)
+    st = _cluster_init_state(cd_init, cid_init, lens_init, cmax, dtype,
+                             with_adj=True)
+    perm = jnp.asarray(_mask_order_perm(cmax))
+    pos_group = jnp.concatenate(
+        [jnp.array([-1, -1], jnp.int32),
+         jnp.repeat(jnp.arange(cmax, dtype=jnp.int32), 4)]
+    )
+    scoreable0 = jnp.zeros((2 + 4 * cmax,), jnp.bool_).at[0].set(True)
+    grp = jnp.asarray(_new_group_scoreable())
+
+    bank = ranks[wit_ids]        # [W, M] witness sketches
+    qsrc = ranks[mem_ids]        # [cmax, M] member sketches
+    Bb = min(row_block, cmax)
+    # pad the query source to a block multiple: dynamic_slice CLAMPS
+    # out-of-range starts, so an unpadded tail block would silently
+    # serve shifted rows (observed at cmax=34, Bb=4: block start 32
+    # clamped to 30 fed queries 30/31 in place of 32/33)
+    padq = (-cmax) % Bb
+    if padq:
+        qsrc = jnp.concatenate(
+            [qsrc, jnp.broadcast_to(qsrc[-1:], (padq, qsrc.shape[1]))],
+            axis=0)
+
+    def block_fn(start):
+        q = jax.lax.dynamic_slice_in_dim(qsrc, start, Bb, axis=0)
+        inter = mash_pairwise_inter(bank, q, sketch_size=sketch_size)
+        return _inter_to_dist(inter, kmer, sketch_size, dtype)  # [Bb, W]
+
+    def body(kq, carry):
+        st, scoreable, blk = carry
+        kq32 = jnp.asarray(kq, jnp.int32)
+        start = (kq32 // Bb) * Bb
+        blk = jax.lax.cond(kq32 == start, block_fn, lambda _: blk, start)
+        row = jax.lax.dynamic_index_in_dim(blk, kq32 - start, axis=0,
+                                           keepdims=False)
+        st, scoreable = _cluster_step(kq, row, st, scoreable, perm,
+                                      pos_group, grp, cmax, dtype)
+        return st, scoreable, blk
+
+    def masked_body(kq, carry):
+        return jax.lax.cond(kq < sz, lambda c: body(kq, c), lambda c: c,
+                            carry)
+
+    blk0 = block_fn(jnp.int32(0))
+    st, _, _ = jax.lax.fori_loop(0, cmax, masked_body,
+                                 (st, scoreable0, blk0))
     return st.e, st.belong, st.length
 
 
@@ -297,17 +393,16 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
     elif params.in_format == "m":
         # host-bank streaming (reference pattern: dc/msa.cu keeps the
         # full 4-bit matrix host-side and stages batches): only the
-        # backbone channels live on device permanently; query chunks
-        # and per-cluster gathers upload on demand.
-        from dipper_tpu.distance.msa import build_channels
+        # backbone codes live on device permanently ([B, L] bytes;
+        # one-hot channels expand per tile inside the jits); query
+        # chunks and per-cluster gathers upload on demand.
         from dipper_tpu.io.encode import batch_codes, encode_4bit_codes
 
-        codes, _ = batch_codes(seqs, encode_4bit_codes, pad_value=4)
-        phi_host = build_channels(codes)                    # host bank
-        nongap_host = phi_host[:, 4, :].sum(axis=1)
-        phi_bb = jnp.asarray(phi_host[:B])
+        codes_host, _ = batch_codes(seqs, encode_4bit_codes, pad_value=4)
+        nongap_host = (codes_host < 4).sum(axis=1)
+        codes_bb = jnp.asarray(codes_host[:B])
         nongap_bb = jnp.asarray(nongap_host[:B], dtype)
-        backbone_args = ((phi_bb, nongap_bb), (params.distance_type,))
+        backbone_args = ((codes_bb, nongap_bb), (params.distance_type,))
         frontend = "msa"
     else:
         raise SystemExit(
@@ -348,11 +443,11 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
             )
             batched = (q_ids,)
         else:
-            fn = lambda pq, nq: _phase2_chunk_msa(
-                state, phi_bb, nongap_bb, pq, nq,
+            fn = lambda cq, nq: _phase2_chunk_msa(
+                state, codes_bb, nongap_bb, cq, nq,
                 distance_type=params.distance_type, dtype_name=dtype_name,
             )
-            batched = (jnp.asarray(phi_host[s0:qe]),  # staged from host bank
+            batched = (jnp.asarray(codes_host[s0:qe]),  # staged from host
                        jnp.asarray(nongap_host[s0:qe], dtype))
         if mesh is not None:
             eids = _shard_batch(mesh, fn, *batched)
@@ -402,7 +497,6 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
 
     if cmax > 0:
         nclusters = len(cluster_eids)
-        W = 10 + cmax
         oths = rev_h[cluster_eids]
         pair = np.stack([cluster_eids, oths], axis=1)         # [C, 2]
         gid = cid_h[pair].astype(np.int64)                    # [C, 2, K]
@@ -411,35 +505,69 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
         cid_init = np.where(gid != -1, slot, -1)
         cd_init = cd_h[pair]
         lens_init = len_h[pair]
-        # member matrix: row ci = its queries in encounter order,
-        # padded by repeating (pad rows/cols are masked by `sz` inside
-        # the build, so the pad value never reaches the output)
-        colj = np.arange(cmax, dtype=np.int64)[None, :]
-        take = starts[:, None] + np.minimum(colj, sizes[:, None] - 1)
-        members = sorted_q[take]                              # [C, cmax]
-        wit_global = np.concatenate(
-            [np.maximum(gid, 0).reshape(nclusters, 2 * K), members], axis=1)
+        wit_head = np.maximum(gid, 0).reshape(nclusters, 2 * K)
 
         # Cluster sizes at scale are heavy-tailed (a few backbone edges
         # attract thousands of queries while the median is ~N/B-ish);
         # padding every cluster to the global max blew the vmapped
         # distance intermediate to hundreds of GB at N=100K. Clusters
-        # are therefore processed in pow2 SIZE BUCKETS: each bucket
-        # builds at its own cmax_b (local node ids remapped to the
-        # global-cmax convention afterwards), and the per-dispatch
-        # cluster count is sized from the distance path's actual
-        # intermediate footprint.
+        # are therefore processed in pow2 SIZE BUCKETS, each at its own
+        # cmax_b; members/witness matrices are built per bucket (a
+        # global [C, cmax] staging is itself GBs of host memory when
+        # one cluster dominates), clusters wider than
+        # _STREAM_CLUSTER_MIN run the streaming build (no [cmax, W]
+        # distance precompute at all), and every bucket assembles its
+        # global ids immediately.
         if frontend == "matrix":
             payload = Dm
         elif frontend == "mash":
             payload = ranks
         else:
-            payload = (phi_host, nongap_host)
-        loc_e = np.zeros((nclusters, 2 + 4 * cmax), np.int64)
-        loc_b = np.zeros((nclusters, 2 + 4 * cmax), np.int64)
-        loc_l = np.zeros((nclusters, 2 + 4 * cmax), np.float64)
+            payload = (codes_host, nongap_host)
+
+        x_f = bb_final_vec(belong_h[cluster_eids])
+        y_f = bb_final_vec(e_h[cluster_eids])
+
+        def assemble(rr, le, lb, ll, cmax_b, members_b):
+            """Map bucket-local (e, belong, length) [c, 2+4*cmax_b] of
+            clusters `rr` to FINAL global ids and write them into the
+            global arrays. middle k of cluster ci -> N + B - 1 + p_c + k
+            (reference: insertLeafCount + N_total - 1 with
+            insertLeafCount = B + t)."""
+            le = np.asarray(le)
+            lb = np.asarray(lb)
+            ll = np.asarray(ll, dtype=np.float64)
+
+            def node_map(V):
+                V = V.astype(np.int64)
+                leaf = members_b[np.arange(len(rr))[:, None],
+                                 np.clip(V - 2, 0, cmax_b - 1)]
+                mid = N + B - 1 + prefix[rr][:, None] + (V - 2 - cmax_b)
+                return np.where(V >= 2 + cmax_b, mid,
+                                np.where(V >= 2, leaf,
+                                         np.where(V == 1, y_f[rr][:, None],
+                                                  x_f[rr][:, None])))
+
+            map_e = node_map(le)
+            map_b = node_map(lb)
+            # overwrite the cluster edge's two slots
+            g_e[pair[rr]] = map_e[:, :2]
+            g_belong[pair[rr]] = map_b[:, :2]
+            g_len[pair[rr]] = ll[:, :2]
+            # insertion groups: global slot nb_used + 4*(p_c+g) + m for
+            # the local slot 2 + 4g + m, valid while g < size[ci]
+            span = np.arange(4 * cmax_b, dtype=np.int64)[None, :]
+            gslots = nb_used + 4 * prefix[rr][:, None] + span
+            valid = span < 4 * sizes[rr][:, None]
+            g_e[gslots[valid]] = map_e[:, 2:][valid]
+            g_belong[gslots[valid]] = map_b[:, 2:][valid]
+            g_len[gslots[valid]] = ll[:, 2:][valid]
+
         corder = np.argsort(sizes, kind="stable")
         szs = sizes[corder]
+        _log(f"DC phase 3: {nclusters} clusters, size p50="
+             f"{int(np.median(sizes))} p99={int(np.quantile(sizes, .99))} "
+             f"max={cmax}")
         b0 = 0
         while b0 < nclusters:
             cmax_b = 8
@@ -450,8 +578,33 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
                 if cmax_b < cmax else nclusters
             rows = corder[b0:b1]
             b0 = b1
-            mem_b = members[rows][:, :cmax_b]
-            wit_b = wit_global[rows][:, : 2 * K + cmax_b]
+            # member matrix: row = queries in encounter order, padded
+            # by repeating (pads masked by `sz` inside the build)
+            colj = np.arange(cmax_b, dtype=np.int64)[None, :]
+            take = starts[rows][:, None] \
+                + np.minimum(colj, sizes[rows][:, None] - 1)
+            mem_b = sorted_q[take]                         # [c, cmax_b]
+            wit_b = np.concatenate([wit_head[rows], mem_b], axis=1)
+
+            if frontend == "mash" and cmax_b >= _STREAM_CLUSTER_MIN:
+                # huge clusters one at a time, rows streamed in-loop
+                for j, ci in enumerate(rows):
+                    le, lb, ll = _cluster_build_stream_mash(
+                        ranks, jnp.asarray(wit_b[j]), jnp.asarray(mem_b[j]),
+                        jnp.asarray(cd_init[ci], dtype),
+                        jnp.asarray(cid_init[ci], jnp.int32),
+                        jnp.asarray(lens_init[ci], dtype),
+                        jnp.asarray(sizes[ci], jnp.int32),
+                        cmax=cmax_b, dtype_name=dtype_name,
+                        kmer=params.kmer_size,
+                        sketch_size=params.sketch_size,
+                        row_block=_STREAM_ROW_BLOCK)
+                    assemble(np.array([ci]), jax.device_get(le)[None],
+                             jax.device_get(lb)[None],
+                             jax.device_get(ll)[None], cmax_b,
+                             mem_b[j][None])
+                continue
+
             cchunk = _phase3_cchunk(frontend, params, cmax_b)
             for s in range(0, len(rows), cchunk):
                 rr = rows[s : s + cchunk]
@@ -473,52 +626,9 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
                 else:
                     le, lb, ll = _cluster_build_vmapped(cmax_b, dtype_name)(
                         *build_args)
-                le = np.asarray(jax.device_get(le))
-                lb = np.asarray(jax.device_get(lb))
-                # bucket-local node ids -> global-cmax convention
-                # (middles live at 2+cmax_b+k inside the build)
-                if cmax_b != cmax:
-                    sh = cmax - cmax_b
-                    le = np.where(le >= 2 + cmax_b, le + sh, le)
-                    lb = np.where(lb >= 2 + cmax_b, lb + sh, lb)
-                w = 2 + 4 * cmax_b
-                loc_e[rr, :w] = le
-                loc_b[rr, :w] = lb
-                loc_l[rr, :w] = np.asarray(jax.device_get(ll),
-                                           dtype=np.float64)
-
-        # ---- assembly: local -> FINAL global ids, fully vectorized.
-        # middle k of cluster ci -> N + B - 1 + p_c + k (reference:
-        # insertLeafCount + N_total - 1 with insertLeafCount = B + t)
-        x_f = bb_final_vec(belong_h[cluster_eids])
-        y_f = bb_final_vec(e_h[cluster_eids])
-
-        def node_map_vec(V):
-            """[C, S] local node ids -> final global ids."""
-            V = V.astype(np.int64)
-            leaf = members[np.arange(nclusters)[:, None],
-                           np.clip(V - 2, 0, cmax - 1)]
-            mid = N + B - 1 + prefix[:, None] + (V - 2 - cmax)
-            out = np.where(V >= 2 + cmax, mid,
-                           np.where(V >= 2, leaf,
-                                    np.where(V == 1, y_f[:, None],
-                                             x_f[:, None])))
-            return out
-
-        map_e = node_map_vec(loc_e)
-        map_b = node_map_vec(loc_b)
-        # overwrite the cluster edge's two slots
-        g_e[pair] = map_e[:, :2]
-        g_belong[pair] = map_b[:, :2]
-        g_len[pair] = loc_l[:, :2]
-        # insertion groups: global slot nb_used + 4*(p_c+g) + m for the
-        # local slot 2 + 4g + m, valid while g < size[ci]
-        span = np.arange(4 * cmax, dtype=np.int64)[None, :]
-        gslots = nb_used + 4 * prefix[:, None] + span
-        valid = span < 4 * sizes[:, None]
-        g_e[gslots[valid]] = map_e[:, 2:][valid]
-        g_belong[gslots[valid]] = map_b[:, 2:][valid]
-        g_len[gslots[valid]] = loc_l[:, 2:][valid]
+                assemble(rr, jax.device_get(le), jax.device_get(lb),
+                         jax.device_get(ll), cmax_b,
+                         mem_b[s : s + cchunk])
 
     from dipper_tpu.io.newick import edge_arrays_newick
 
@@ -565,6 +675,13 @@ def _phase3_cchunk(frontend, params: Param, cmax_b: int) -> int:
 # either route (integer counts + one shared _inter_to_dist), so the
 # threshold is purely a memory/dispatch-overhead tradeoff.
 _PALLAS_CLUSTER_MIN = 128
+
+# Above this cluster width, even a single cluster's [cmax, W~cmax]
+# distance precompute is quadratic memory (~10 GB for one 50K-query
+# cluster — the second N=100K ResourceExhausted): those clusters run
+# _cluster_build_stream_mash, which computes rows in _STREAM_ROW_BLOCK
+# batches inside the insertion loop (peak [256, W]).
+_STREAM_CLUSTER_MIN = 8192
 
 
 def _dc_pair_distances(frontend, params: Param, dtype_name, wit_global,
@@ -617,16 +734,16 @@ def _dc_pair_distances(frontend, params: Param, dtype_name, wit_global,
         return _inter_to_dist(inter, params.kmer_size,
                               params.sketch_size, jnp.dtype(dtype_name))
     else:
-        # host bank: gather the cluster's witness/member channels on the
-        # host and stage one upload per cluster chunk (dc/msa.cu's
-        # transferMsaClusterInfoDC pattern)
-        phi_host, nongap_host = payload
-        from dipper_tpu.distance.msa import _block_distance
+        # host bank: gather the cluster's witness/member codes on the
+        # host, stage one upload per cluster chunk (dc/msa.cu's
+        # transferMsaClusterInfoDC pattern), one-hot on device
+        codes_host, nongap_host = payload
+        from dipper_tpu.distance.msa import _block_distance, one_hot_channels
 
-        L = phi_host.shape[2]
+        L = codes_host.shape[1]
         dt = jnp.dtype(dtype_name)
-        phi_w = jnp.asarray(phi_host[wit_global])       # [C, W, 5, L]
-        phi_m = jnp.asarray(phi_host[members])          # [C, cmax, 5, L]
+        phi_w = one_hot_channels(jnp.asarray(codes_host[wit_global]))
+        phi_m = one_hot_channels(jnp.asarray(codes_host[members]))
         ng_w = jnp.asarray(nongap_host[wit_global], dt)
         ng_m = jnp.asarray(nongap_host[members], dt)
 

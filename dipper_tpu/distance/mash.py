@@ -200,9 +200,30 @@ def _merged_inter_count(a_keys, b_keys, sketch_size: int):
     return inter
 
 
+@functools.lru_cache(maxsize=None)
+def _dist_table(k: int, sketch_size: int, dtype_name: str) -> np.ndarray:
+    """Host-computed [S+1] lookup table d(inter) for the only possible
+    intersection counts 0..S. NumPy's libm log gives ONE deterministic
+    set of values embedded as a jit constant — XLA evaluates
+    transcendentals differently between compilation contexts (SIMD
+    bodies vs scalar tails vs constant folding), which flipped argmin
+    ties between the streamed and precomputed DC distance paths even
+    for identical integer counts."""
+    dt = np.dtype(dtype_name)
+    t = np.arange(sketch_size + 1, dtype=dt)
+    j = np.maximum(t, dt.type(1.0)) / dt.type(sketch_size)
+    return np.minimum(
+        dt.type(1.0),
+        np.abs(np.log(dt.type(2.0) * j / (dt.type(1.0) + j)) / dt.type(k)))
+
+
 def _inter_to_dist(inter, k: int, sketch_size: int, dtype):
-    j = jnp.maximum(inter.astype(dtype), 1.0) / sketch_size
-    return jnp.minimum(1.0, jnp.abs(jnp.log(2.0 * j / (1.0 + j)) / k))
+    """d = min(1, |ln(2j/(1+j))|/k), j = max(inter,1)/S (mash.cu:453),
+    via the host lookup table — the hot path is one tiny gather instead
+    of a log per pair, and distances are bitwise identical across every
+    dispatch shape, impl, and backend given equal counts."""
+    tab = jnp.asarray(_dist_table(k, sketch_size, str(jnp.dtype(dtype))))
+    return tab[jnp.clip(inter, 0, sketch_size)]
 
 
 def _pad_pow2(S: int) -> int:

@@ -154,3 +154,30 @@ def test_dc_size_buckets_and_big_cluster_path(monkeypatch):
     monkeypatch.setattr(pl, "PHASE3_BUDGET", 64)
     got = build_dc_tree(seqs, names, params)
     assert got == want
+
+
+def test_dc_streaming_big_cluster_path(monkeypatch):
+    """Clusters above _STREAM_CLUSTER_MIN build with streamed distance
+    rows (no [cmax, W] precompute — the N=100K quadratic-memory OOM)
+    and the frontier-compact witness BFS. Forcing the threshold down
+    must leave every tree identical to the default (precomputed-Dq,
+    dense-BFS) path: integer intersection counts are impl-independent
+    and the BFS variants are state-equivalent."""
+    import dipper_tpu.dc.pipeline as pl
+    from dipper_tpu.dc.pipeline import build_dc_tree
+    from dipper_tpu.utils.treecmp import rf_distance as rf
+
+    rng = np.random.default_rng(23)
+    names, seqs = simulate_unaligned(150, 900, rng)
+    params = Param(in_format="r", kmer_size=12, sketch_size=100,
+                   dtype="float64", backbone_size=12, batch_size=12)
+
+    want = build_dc_tree(seqs, names, params)
+
+    # every cluster >= 8 members streams, with several row blocks
+    monkeypatch.setattr(pl, "_STREAM_CLUSTER_MIN", 8)
+    monkeypatch.setattr(pl, "_STREAM_ROW_BLOCK", 4)
+    got = build_dc_tree(seqs, names, params)
+    r, nrf = rf(got, want)
+    assert r == 0, f"nRF={nrf}"
+    assert got == want  # branch lengths bitwise too
