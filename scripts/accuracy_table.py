@@ -149,7 +149,8 @@ def main():
         for tag, flags in (("dipper-nj", ["-m", "2"]),
                            ("dipper-place", ["-m", "1"]),
                            ("dipper-exact", ["-m", "0"])):
-            out = os.path.join(args.workdir, f"out_{kind}_n{n}_{tag}.nwk")
+            out = os.path.join(
+                args.workdir, f"out_{kind}_n{n}_s{args.seed}_{tag}.nwk")
             secs = run_cli_matrix(phy, out, flags)
             res[tag] = (nrf_of(open(out).read()), secs)
             print(f"[acc] n={n} {tag}: nRF={res[tag][0]:.4f} "
