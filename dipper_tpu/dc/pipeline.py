@@ -585,8 +585,13 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
                 + np.minimum(colj, sizes[rows][:, None] - 1)
             mem_b = sorted_q[take]                         # [c, cmax_b]
             wit_b = np.concatenate([wit_head[rows], mem_b], axis=1)
+            stream = (frontend == "mash"
+                      and cmax_b >= _STREAM_CLUSTER_MIN)
+            _log(f"DC phase 3: bucket cmax_b={cmax_b} "
+                 f"clusters={len(rows)} "
+                 f"path={'stream' if stream else 'batch'}")
 
-            if frontend == "mash" and cmax_b >= _STREAM_CLUSTER_MIN:
+            if stream:
                 # huge clusters one at a time, rows streamed in-loop
                 for j, ci in enumerate(rows):
                     le, lb, ll = _cluster_build_stream_mash(
@@ -642,7 +647,7 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
 last_debug = None
 
 
-_PHASE3_BYTES = 1 << 30  # per-dispatch intermediate budget (the
+_PHASE3_BYTES = 1 << 28  # per-dispatch intermediate budget (the
 # bitonic merge holds ~2-3 stage copies live, so the true peak is a
 # small multiple of this)
 
@@ -680,8 +685,12 @@ _PALLAS_CLUSTER_MIN = 128
 # distance precompute is quadratic memory (~10 GB for one 50K-query
 # cluster — the second N=100K ResourceExhausted): those clusters run
 # _cluster_build_stream_mash, which computes rows in _STREAM_ROW_BLOCK
-# batches inside the insertion loop (peak [256, W]).
-_STREAM_CLUSTER_MIN = 8192
+# batches inside the insertion loop (peak [256, W]). Set well below the
+# memory wall: heavy-tailed size distributions put only a handful of
+# clusters above this width (N=100K observed p99=59, max=9336), so the
+# per-cluster dispatch overhead is irrelevant while the memory bound
+# tightens from [cmax, W] to [256, W].
+_STREAM_CLUSTER_MIN = 1024
 
 
 def _dc_pair_distances(frontend, params: Param, dtype_name, wit_global,
