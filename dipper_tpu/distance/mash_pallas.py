@@ -121,7 +121,8 @@ def _merge_count_one(a, q, pos, sketch_size: int, rotate: str):
     )
 
 
-def _merge_count_kernel(sketch_size: int, M: int, R: int, rotate: str):
+def _merge_count_kernel(sketch_size: int, M: int, R: int, rotate: str,
+                        rq: int):
     def kernel(bank_ref, qrev_ref, out_ref):
         a = bank_ref[:]                        # [R, M]  (keys 2r+1)
         pos = jax.lax.broadcasted_iota(jnp.int32, (R, 2 * M), 1)
@@ -134,16 +135,16 @@ def _merge_count_kernel(sketch_size: int, M: int, R: int, rotate: str):
 
         # fori_loop (not an unrolled python loop): one traced merge
         # body keeps the Mosaic program small
-        jax.lax.fori_loop(0, RQ, one_query, 0)
+        jax.lax.fori_loop(0, rq, one_query, 0)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("sketch_size", "block_rows",
-                                             "interpret", "rotate"))
+                                             "interpret", "rotate", "rq"))
 def mash_inter_pallas(bank_keys, query_keys, *, sketch_size: int,
                       block_rows: int = 256, interpret: bool = False,
-                      rotate: str = "static"):
+                      rotate: str = "static", rq: int = RQ):
     """bank_keys int32 [N, M] (2*rank+1, ascending rows), query_keys
     int32 [Q, M] or [M] (2*rank). Returns inter counts int32 [Q, N]
     (or [N] for a single query)."""
@@ -157,7 +158,7 @@ def mash_inter_pallas(bank_keys, query_keys, *, sketch_size: int,
     if padn:
         bank_keys = jnp.concatenate(
             [bank_keys, jnp.tile(bank_keys[-1:], (padn, 1))], axis=0)
-    padq = (-Q) % RQ
+    padq = (-Q) % rq
     if padq:
         query_keys = jnp.concatenate(
             [query_keys, jnp.tile(query_keys[-1:], (padq, 1))], axis=0)
@@ -170,15 +171,15 @@ def mash_inter_pallas(bank_keys, query_keys, *, sketch_size: int,
     # is pure int32, so trace it with x64 off.
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _merge_count_kernel(sketch_size, M, R, rotate),
-            grid=(Qp // RQ, Np // R),
+            _merge_count_kernel(sketch_size, M, R, rotate, rq),
+            grid=(Qp // rq, Np // R),
             in_specs=[
                 pl.BlockSpec((R, M), lambda i, j: (j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((RQ, M), lambda i, j: (i, 0),
+                pl.BlockSpec((rq, M), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((RQ, R), lambda i, j: (i, j),
+            out_specs=pl.BlockSpec((rq, R), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((Qp, Np), jnp.int32),
             interpret=interpret,
