@@ -48,7 +48,9 @@ def main():
     rng = np.random.default_rng(0)
     sk = rng.integers(0, 1 << 62, size=(N, S), dtype=np.uint64)
     sk.sort(axis=1)
-    ranks = M.pad_ranks(M.rank_compress(jnp.asarray(sk)))
+    # host rank compression (the production ingest path; the device
+    # hierarchical sort's compile explodes at bank scale)
+    ranks = jax.device_put(M.pad_ranks(M.rank_compress_host(sk)))
     ranks = jax.block_until_ready(ranks)
     # distinct query blocks per rep
     queries = [ranks[i * 7 % (N - Q):][:Q] for i in range(reps)]

@@ -32,16 +32,31 @@ from dipper_tpu.placement import kclosest as KC
 def build_state(n, warm, dtype="float32"):
     """Place `warm` taxa of an n-slot tree from a synthetic matrix."""
     rng = np.random.default_rng(0)
-    pts = rng.random((n, 8))
-    D = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
-    np.fill_diagonal(D, 0.0)
-    D = jnp.asarray(D / D.max(), jnp.dtype(dtype))
+    pts = rng.random((n, 8)).astype(np.float32)
+
+    # build the [n, n] matrix ON DEVICE from the tiny [n, 8] upload:
+    # multi-GB host->device pushes through the tunnel fault the device
+    # (observed at 3.6-4.3 GB), and the broadcasted [n, n, 8] host
+    # difference would be tens of TB
+    @jax.jit
+    def _dist(p):
+        sq = (p * p).sum(-1)
+        D = sq[:, None] + sq[None, :] - 2.0 * (p @ p.T)
+        D = jnp.sqrt(jnp.maximum(D, 0.0))
+        D = D * (1.0 - jnp.eye(p.shape[0], dtype=p.dtype))
+        return (D / D.max()).astype(jnp.dtype(dtype))
+
+    D = jax.block_until_ready(_dist(jnp.asarray(pts)))
     st = KC.init_placement_state(
         (D,), num_sequences=n, frontend="matrix", dtype_name=dtype)
-    st = KC.run_insert_range(
-        st, jnp.int32(2), jnp.int32(warm), (D,),
-        num_sequences=n, frontend="matrix", dtype_name=dtype)
-    return jax.block_until_ready(st), D
+    # bounded dispatches: one 15K-insertion dispatch runs minutes and
+    # trips the device watchdog (UNAVAILABLE fault)
+    for lo in range(2, warm, 4096):
+        st = KC.run_insert_range(
+            st, jnp.int32(lo), jnp.int32(min(warm, lo + 4096)), (D,),
+            num_sequences=n, frontend="matrix", dtype_name=dtype)
+        st = jax.block_until_ready(st)
+    return st, D
 
 
 def main():
