@@ -70,6 +70,8 @@ def main():
     ap.add_argument("--workdir", default="/tmp/dipper_scale")
     ap.add_argument("--save-state", default=None,
                     help="checkpoint path passed through to the CLI")
+    ap.add_argument("--load-state", default=None,
+                    help="resume checkpoint passed through to the CLI")
     ap.add_argument("--no-nrf", action="store_true")
     ap.add_argument("--tag", default=None)
     ap.add_argument("--timeout", type=int, default=86400)
@@ -87,6 +89,8 @@ def main():
            "--state-chunk", str(args.chunk)] + MODE_FLAGS[args.mode]
     if args.save_state:
         cmd += ["--save-state", args.save_state]
+    if args.load_state:
+        cmd += ["--load-state", args.load_state]
     print("[scale] run:", " ".join(cmd), file=sys.stderr)
 
     env = dict(os.environ)
