@@ -332,7 +332,8 @@ def run_exact_chunked(frontend_args, *, num_sequences: int, frontend: str,
         t0 = time.time()
         st = run_exact_range(st, jnp.int32(lo), jnp.int32(hi),
                              frontend_args, **kw)
-        jax.block_until_ready(st)
+        # 4-byte D2H drain; see kclosest.run_placement_chunked
+        int(jax.device_get(st.idx))
         if log:
             log(f"Inserted {hi}/{N} "
                 f"({(time.time() - t0) / max(hi - lo, 1) * 1e3:.2f} "

@@ -823,7 +823,11 @@ def run_placement_chunked(frontend_args, *, num_sequences: int, frontend: str,
             st = _resize_state(st, 4 * cap, dtype)
         st = run_insert_range(st, jnp.int32(lo), jnp.int32(hi),
                               fa_cap, **kw)
-        jax.block_until_ready(st)
+        # force a real drain with a 4-byte D2H: through the axon tunnel
+        # block_until_ready returns before execution finishes, which
+        # made per-chunk timings read 0.00 and let the dispatch queue
+        # grow unboundedly
+        int(jax.device_get(st.idx))
         if log:
             log(f"Inserted {hi}/{N} "
                 f"({(time.time() - t0) / max(hi - lo, 1) * 1e3:.2f} "
