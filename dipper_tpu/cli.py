@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--state-chunk", type=int, default=8192,
                    help="insertions per device dispatch (bounds single-"
                         "execution length; checkpoint granularity)")
+    p.add_argument("--no-prefix-caps", action="store_true",
+                   help="disable pow2 prefix-cap buckets (one XLA "
+                        "program instead of one per bucket; ~2x the "
+                        "steady per-insertion work but far fewer "
+                        "compiles — wins on first runs at a new N)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the build to DIR")
     p.add_argument("--devices", type=int, default=1, metavar="N",
@@ -140,6 +145,7 @@ def main(argv=None) -> int:
         save_state=args.save_state,
         load_state=args.load_state,
         state_chunk=args.state_chunk,
+        prefix_caps=not args.no_prefix_caps,
         devices=args.devices,
     )
 

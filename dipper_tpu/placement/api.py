@@ -94,7 +94,7 @@ def build_placement_tree_from_matrix(D, names, params: Param, exact=False,
             (jnp.asarray(D, jnp.dtype(params.dtype)),),
             num_sequences=n, frontend="matrix", dtype_name=_dtype_name(params),
             chunk=params.state_chunk, save_state=params.save_state,
-            load_state=params.load_state,
+            load_state=params.load_state, use_caps=params.prefix_caps,
             fingerprint=run_fingerprint(params, names), log=log,
         )
         e, belong, length = st.e, st.belong, st.length
@@ -126,7 +126,7 @@ def build_placement_tree_from_seqs(seqs, names, params: Param, exact=False,
             frontend_args, num_sequences=n, frontend=frontend,
             frontend_static=frontend_static, dtype_name=_dtype_name(params),
             chunk=params.state_chunk, save_state=params.save_state,
-            load_state=params.load_state,
+            load_state=params.load_state, use_caps=params.prefix_caps,
             fingerprint=run_fingerprint(params, names), log=log,
         )
         e, belong, length = st.e, st.belong, st.length

@@ -53,6 +53,10 @@ class Param:
     save_state: str | None = None
     load_state: str | None = None
     state_chunk: int = 8192
+    # pow2 prefix caps halve average per-insertion work but compile one
+    # program per (cap bucket, N); disable when compile latency
+    # dominates (fresh N through a remote AOT service)
+    prefix_caps: bool = True
     # shard work over the first `devices` local devices (mesh axis 'd');
     # the reference is strictly single-GPU (SURVEY §2.4)
     devices: int = 1

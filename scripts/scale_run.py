@@ -72,6 +72,9 @@ def main():
                     help="checkpoint path passed through to the CLI")
     ap.add_argument("--load-state", default=None,
                     help="resume checkpoint passed through to the CLI")
+    ap.add_argument("--no-prefix-caps", action="store_true",
+                    help="pass --no-prefix-caps to the CLI (one compile"
+                         " instead of one per pow2 cap bucket)")
     ap.add_argument("--no-nrf", action="store_true")
     ap.add_argument("--tag", default=None)
     ap.add_argument("--timeout", type=int, default=86400)
@@ -91,6 +94,8 @@ def main():
         cmd += ["--save-state", args.save_state]
     if args.load_state:
         cmd += ["--load-state", args.load_state]
+    if args.no_prefix_caps:
+        cmd += ["--no-prefix-caps"]
     print("[scale] run:", " ".join(cmd), file=sys.stderr)
 
     env = dict(os.environ)
