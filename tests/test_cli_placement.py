@@ -56,6 +56,27 @@ def test_cli_placement_mash(tmp_path):
     assert rf == 0
 
 
+def test_cli_no_prefix_caps_identical(tmp_path):
+    """--no-prefix-caps (single-program chunked build) must produce a
+    byte-identical tree to the default pow2-cap-bucket path."""
+    n = 40
+    rng = np.random.default_rng(29)
+    D = random_additive_matrix(n, rng)
+    D = D / (D.max() * 1.05)
+    names = [f"T{i}" for i in range(n)]
+    inp = tmp_path / "in.phy"
+    write_phylip_lower_triangular(names, D, str(inp))
+    out_cap = tmp_path / "cap.nwk"
+    out_nc = tmp_path / "nocap.nwk"
+    assert main(["-i", "d", "-I", str(inp), "-O", str(out_cap),
+                 "-m", "1", "--precision", "f64",
+                 "--state-chunk", "8"]) == 0
+    assert main(["-i", "d", "-I", str(inp), "-O", str(out_nc),
+                 "-m", "1", "--precision", "f64",
+                 "--state-chunk", "8", "--no-prefix-caps"]) == 0
+    assert out_cap.read_text() == out_nc.read_text()
+
+
 def test_cli_add_to_backbone(tmp_path):
     """--add: build a backbone with placement, then add held-out tips."""
     rng = np.random.default_rng(41)
