@@ -159,3 +159,23 @@ def test_rank_compress_host_equivalent():
         pad_ranks(jnp.asarray(host)), pad_ranks(jnp.asarray(host))[3],
         k=15, sketch_size=64, dtype_name="float64"))
     np.testing.assert_array_equal(d_dev, d_host)
+
+
+def test_dist_table_matches_reference_formula():
+    """The [S+1] host lookup table must equal the reference's per-pair
+    formula d = min(1, |ln(2j/(1+j))|/k), j = max(inter,1)/S
+    (src/mash.cu:453-454) evaluated in plain python floats — the table
+    exists so every dispatch shape/backend yields these exact values."""
+    import math
+
+    from dipper_tpu.distance.mash import _dist_table
+
+    for k, S in ((15, 1000), (12, 100), (9, 17)):
+        tab = _dist_table(k, S, "float64")
+        assert tab.shape == (S + 1,)
+        for inter in (0, 1, 2, S // 3, S - 1, S):
+            j = max(inter, 1) / S
+            want = min(1.0, abs(math.log(2.0 * j / (1.0 + j)) / k))
+            assert tab[inter] == want, (k, S, inter)
+        # monotone non-increasing in inter
+        assert (tab[1:] <= tab[:-1] + 1e-18).all()
