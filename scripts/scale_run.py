@@ -78,6 +78,10 @@ def main():
     ap.add_argument("--no-nrf", action="store_true")
     ap.add_argument("--tag", default=None)
     ap.add_argument("--timeout", type=int, default=86400)
+    ap.add_argument("--retries", type=int, default=3,
+                    help="on a nonzero exit (e.g. TPU worker crash), "
+                         "relaunch from the --save-state checkpoint up "
+                         "to this many times (0 disables)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -85,18 +89,19 @@ def main():
     out_nwk = os.path.join(
         args.workdir, f"out_{args.mode}_n{args.n}_L{args.L}.nwk")
 
-    cmd = [sys.executable, "-m", "dipper_tpu.cli",
-           "-i", "r", "-I", prefix + ".fa", "-O", out_nwk,
-           "-k", str(args.k), "-s", str(args.s),
-           "--precision", args.precision,
-           "--state-chunk", str(args.chunk)] + MODE_FLAGS[args.mode]
-    if args.save_state:
-        cmd += ["--save-state", args.save_state]
-    if args.load_state:
-        cmd += ["--load-state", args.load_state]
-    if args.no_prefix_caps:
-        cmd += ["--no-prefix-caps"]
-    print("[scale] run:", " ".join(cmd), file=sys.stderr)
+    def build_cmd(load_state):
+        cmd = [sys.executable, "-m", "dipper_tpu.cli",
+               "-i", "r", "-I", prefix + ".fa", "-O", out_nwk,
+               "-k", str(args.k), "-s", str(args.s),
+               "--precision", args.precision,
+               "--state-chunk", str(args.chunk)] + MODE_FLAGS[args.mode]
+        if args.save_state:
+            cmd += ["--save-state", args.save_state]
+        if load_state:
+            cmd += ["--load-state", load_state]
+        if args.no_prefix_caps:
+            cmd += ["--no-prefix-caps"]
+        return cmd
 
     env = dict(os.environ)
     env.setdefault("DIPPER_CACHE_DIR", "/tmp/dipper_jax_cache")
@@ -109,24 +114,47 @@ def main():
     # long runs are observable while in flight
     log_path = os.path.join(args.workdir,
                             f"run_{args.mode}_n{args.n}.log")
-    stderr_lines = []
+    load_state = args.load_state
+    attempts = 1 + max(0, args.retries)
+    stderr = ""
     with open(log_path, "w") as logf:
-        proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
-                                stderr=subprocess.PIPE, text=True, env=env,
-                                cwd=REPO, bufsize=1)
-        for line in proc.stderr:
-            stderr_lines.append(line)
-            sys.stderr.write(line)
-            sys.stderr.flush()
-            logf.write(line)
+        for attempt in range(attempts):
+            cmd = build_cmd(load_state)
+            print("[scale] run:", " ".join(cmd), file=sys.stderr)
+            stderr_lines = []
+            proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                                    stderr=subprocess.PIPE, text=True,
+                                    env=env, cwd=REPO, bufsize=1)
+            for line in proc.stderr:
+                stderr_lines.append(line)
+                sys.stderr.write(line)
+                sys.stderr.flush()
+                logf.write(line)
+                logf.flush()
+            proc.wait(timeout=args.timeout)
+            stderr = "".join(stderr_lines)
+            if proc.returncode == 0:
+                break
+            # env crash (TPU worker restart, OOM-killed child, ...):
+            # if a checkpoint exists, resume from it instead of dying —
+            # the CLI refuses mismatched checkpoints, so a stale file
+            # from another run fails fast rather than corrupting.
+            can_resume = (args.save_state
+                          and os.path.exists(args.save_state)
+                          and attempt + 1 < attempts)
+            msg = (f"[scale] attempt {attempt + 1} FAILED "
+                   f"rc={proc.returncode}"
+                   + (f"; retrying from {args.save_state}" if can_resume
+                      else ""))
+            print(msg, file=sys.stderr)
+            logf.write(msg + "\n")
             logf.flush()
-        proc.wait(timeout=args.timeout)
-    stderr = "".join(stderr_lines)
+            if not can_resume:
+                raise SystemExit(proc.returncode)
+            load_state = args.save_state
+            time.sleep(30)  # let a crashed TPU worker come back
     maxrss_kb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
     wall_s = time.time() - t0
-    if proc.returncode != 0:
-        print(f"[scale] FAILED rc={proc.returncode}", file=sys.stderr)
-        raise SystemExit(proc.returncode)
 
     phases = dict(re.findall(r"^([A-Za-z][\w /-]*) in: (\d+) ms", stderr,
                              re.M))
