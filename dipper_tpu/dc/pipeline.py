@@ -292,7 +292,10 @@ def _cluster_build_stream_mash(ranks, wit_ids, mem_ids, cd_init, cid_init,
         st, scoreable, blk = carry
         kq32 = jnp.asarray(kq, jnp.int32)
         start = (kq32 // Bb) * Bb
-        blk = jax.lax.cond(kq32 == start, block_fn, lambda _: blk, start)
+        # kq == 0 reuses blk0 (computed before the loop) instead of
+        # re-dispatching the identical [Bb, W] block
+        blk = jax.lax.cond((kq32 == start) & (kq32 > 0),
+                           block_fn, lambda _: blk, start)
         row = jax.lax.dynamic_index_in_dim(blk, kq32 - start, axis=0,
                                            keepdims=False)
         st, scoreable = _cluster_step(kq, row, st, scoreable, perm,
@@ -576,6 +579,11 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
         _log(f"DC phase 3: {nclusters} clusters, size p50="
              f"{int(np.median(sizes))} p99={int(np.quantile(sizes, .99))} "
              f"max={cmax}")
+        # DIPPER_DC_PROFILE=1 adds a sync after each distance precompute
+        # so the per-bucket dist/build split is real (costs pipelining;
+        # off by default)
+        import os as _os
+        _profile = bool(int(_os.environ.get("DIPPER_DC_PROFILE", "0")))
         b0 = 0
         while b0 < nclusters:
             cmax_b = 8
@@ -595,9 +603,9 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
             wit_b = np.concatenate([wit_head[rows], mem_b], axis=1)
             stream = (frontend == "mash"
                       and cmax_b >= _STREAM_CLUSTER_MIN)
-            _log(f"DC phase 3: bucket cmax_b={cmax_b} "
-                 f"clusters={len(rows)} "
-                 f"path={'stream' if stream else 'batch'}")
+            _tb = _time.time()
+            _ndisp = 0
+            _t_dist = _t_asm = 0.0
 
             if stream:
                 # huge clusters one at a time, rows streamed in-loop
@@ -612,36 +620,51 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
                         kmer=params.kmer_size,
                         sketch_size=params.sketch_size,
                         row_block=_STREAM_ROW_BLOCK)
+                    _ndisp += 1
+                    _ta = _time.time()
                     assemble(np.array([ci]), jax.device_get(le)[None],
                              jax.device_get(lb)[None],
                              jax.device_get(ll)[None], cmax_b,
                              mem_b[j][None])
-                continue
-
-            cchunk = _phase3_cchunk(frontend, params, cmax_b)
-            for s in range(0, len(rows), cchunk):
-                rr = rows[s : s + cchunk]
-                Dq = _dc_pair_distances(
-                    frontend, params, dtype_name,
-                    wit_b[s : s + cchunk], mem_b[s : s + cchunk], payload,
-                )
-                build_args = (
-                    Dq,
-                    jnp.asarray(cd_init[rr], dtype),
-                    jnp.asarray(cid_init[rr], jnp.int32),
-                    jnp.asarray(lens_init[rr], dtype),
-                    jnp.asarray(sizes[rr], jnp.int32),
-                )
-                if mesh is not None:  # clusters data-parallel over mesh
-                    le, lb, ll = _shard_batch(
-                        mesh, _cluster_build_vmapped(cmax_b, dtype_name),
-                        *build_args)
-                else:
-                    le, lb, ll = _cluster_build_vmapped(cmax_b, dtype_name)(
-                        *build_args)
-                assemble(rr, jax.device_get(le), jax.device_get(lb),
-                         jax.device_get(ll), cmax_b,
-                         mem_b[s : s + cchunk])
+                    _t_asm += _time.time() - _ta
+            else:
+                cchunk = _phase3_cchunk(frontend, params, cmax_b)
+                for s in range(0, len(rows), cchunk):
+                    rr = rows[s : s + cchunk]
+                    _td = _time.time()
+                    Dq = _dc_pair_distances(
+                        frontend, params, dtype_name,
+                        wit_b[s : s + cchunk], mem_b[s : s + cchunk],
+                        payload,
+                    )
+                    if _profile:
+                        jax.block_until_ready(Dq)
+                        _t_dist += _time.time() - _td
+                    build_args = (
+                        Dq,
+                        jnp.asarray(cd_init[rr], dtype),
+                        jnp.asarray(cid_init[rr], jnp.int32),
+                        jnp.asarray(lens_init[rr], dtype),
+                        jnp.asarray(sizes[rr], jnp.int32),
+                    )
+                    if mesh is not None:  # clusters data-parallel
+                        le, lb, ll = _shard_batch(
+                            mesh, _cluster_build_vmapped(cmax_b, dtype_name),
+                            *build_args)
+                    else:
+                        le, lb, ll = _cluster_build_vmapped(
+                            cmax_b, dtype_name)(*build_args)
+                    _ndisp += 1
+                    le, lb, ll = jax.device_get((le, lb, ll))
+                    _ta = _time.time()
+                    assemble(rr, le, lb, ll, cmax_b, mem_b[s : s + cchunk])
+                    _t_asm += _time.time() - _ta
+            _log(f"DC phase 3: bucket cmax_b={cmax_b} "
+                 f"clusters={len(rows)} "
+                 f"path={'stream' if stream else 'batch'} "
+                 f"dispatches={_ndisp} in {_time.time() - _tb:.1f}s"
+                 + (f" (dist {_t_dist:.1f}s," if _profile else " (")
+                 + f" assemble {_t_asm:.1f}s)")
 
     _log(f"DC phase 3 in: {int((_time.time() - _t) * 1000)} ms")
 

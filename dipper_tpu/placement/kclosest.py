@@ -68,6 +68,10 @@ class TreeState(NamedTuple):
     # _update_closest_bfs_compact). None on states that never run the
     # compact BFS (the vmapped D&C local cluster builds).
     adj: jnp.ndarray = None
+    # scalar int32: count of compact-BFS frontier overflows that fell
+    # back to the dense all-E BFS — the fallback is a silent perf cliff
+    # at scale, so runs log it per chunk. None when adj is None.
+    nfb: jnp.ndarray = None
 
 
 def init_state(num_sequences: int, dtype) -> TreeState:
@@ -81,6 +85,7 @@ def init_state(num_sequences: int, dtype) -> TreeState:
         cid=jnp.full((E, K), -1, jnp.int32),
         idx=jnp.int32(0),
         adj=jnp.full((2 * num_sequences, 3), -1, jnp.int32),
+        nfb=jnp.int32(0),
     )
 
 
@@ -271,11 +276,15 @@ def _update_closest_bfs_compact(st: TreeState, leaf, num_nodes: int,
                                     mode="drop", unique_indices=True)
         cid = st.cid.at[rows].set(new_id.reshape(-1, K),
                                   mode="drop", unique_indices=True)
-        # next frontier: compact successful dsts by exclusive cumsum
+        # next frontier: compact successful dsts by exclusive cumsum.
+        # In-bounds ranks reach at most 3F-1 (an overflow round still
+        # computes them before the bad-flag triggers the dense rerun),
+        # so dropped slots start at 4F to stay distinct from every
+        # possible rank — unique_indices must hold unconditionally.
         nd = d + st.length[eidsc]
         okf = ok.reshape(-1)
         tgt = jnp.where(okf, jnp.cumsum(okf.astype(jnp.int32)) - 1,
-                        F + jnp.arange(F * 3, dtype=jnp.int32))
+                        4 * F + jnp.arange(F * 3, dtype=jnp.int32))
         nids = jnp.full((F,), -1, jnp.int32).at[tgt].set(
             dstn.reshape(-1), mode="drop", unique_indices=True)
         nfrm = jnp.full((F,), -1, jnp.int32).at[tgt].set(
@@ -291,11 +300,14 @@ def _update_closest_bfs_compact(st: TreeState, leaf, num_nodes: int,
     st_pre = st
     stc, _, _, _, _, bad = jax.lax.while_loop(
         cond, body, (st, ids0, frm0, dst0, jnp.int32(1), jnp.bool_(False)))
-    return jax.lax.cond(
+    st = jax.lax.cond(
         bad,
         lambda: _update_closest_bfs_dense(st_pre, leaf, M, label,
                                           blocked_nodes),
         lambda: stc)
+    if st.nfb is not None:
+        st = st._replace(nfb=st.nfb + bad.astype(jnp.int32))
+    return st
 
 
 def adjacency_from_edges(belong, num_nodes: int):
@@ -320,21 +332,25 @@ def adjacency_from_edges(belong, num_nodes: int):
         order, mode="drop", unique_indices=True)
 
 
-def score_edges(st: TreeState, dist_row, edge_mask=None):
-    """Vectorized calculateBranchLength (src/placement_close_k.cu:309-358).
-    Returns (eid, fracLen, addLen); ties -> lowest eid. `edge_mask`
-    optionally restricts scoring (D&C cluster phase)."""
+def _side_vector(cid, cdis, dist_row):
+    """side[e] = max(max_j d(new, witness_j) - witness_dis_j, 0) — the
+    dis1/dis2 maximization of calculateBranchLength
+    (src/placement_close_k.cu:334-344)."""
+    dv = jnp.where(cid != -1, dist_row[jnp.maximum(cid, 0)] - cdis,
+                   -jnp.inf)
+    return jnp.maximum(jnp.max(dv, axis=-1), 0.0)
+
+
+def _finish_score(st: TreeState, side, dis2, edge_mask=None):
+    """Clamp sequence + first-minimum argmin of calculateBranchLength
+    (src/placement_close_k.cu:346-355, :807). `side`/`dis2` are the
+    per-directed-edge witness maxima (dis1 of the edge, dis1 of its
+    reverse)."""
     dtype = st.length.dtype
-    E = st.e.shape[0]
     valid = st.belong > st.e
     if edge_mask is not None:
         valid = valid & edge_mask
-    ids = jnp.maximum(st.cid, 0)
-    dv = dist_row[ids] - st.cdis                       # [E, K]
-    dv = jnp.where(st.cid != -1, dv, -jnp.inf)
-    side = jnp.maximum(jnp.max(dv, axis=1), 0.0)       # [E]
     dis1 = side
-    dis2 = side[st.rev]
     L = st.length
     addi = (dis1 + dis2 - L) * 0.5
     addi = jnp.maximum(addi, 0.0)
@@ -353,6 +369,159 @@ def score_edges(st: TreeState, dist_row, edge_mask=None):
     frac = jnp.where(valid, dis1, 0.0)
     eid = jnp.argmin(score).astype(jnp.int32)  # first-minimum == lowest eid
     return eid, frac[eid], score[eid]
+
+
+def score_edges(st: TreeState, dist_row, edge_mask=None):
+    """Vectorized calculateBranchLength (src/placement_close_k.cu:309-358).
+    Returns (eid, fracLen, addLen); ties -> lowest eid. `edge_mask`
+    optionally restricts scoring (D&C cluster phase)."""
+    side = _side_vector(st.cid, st.cdis, dist_row)     # [E]
+    return _finish_score(st, side, side[st.rev], edge_mask)
+
+
+# ---------------------------------------------------------------------------
+# Epoch witness scorer
+#
+# The [E, K] scalar gather dist_row[cid] inside score_edges is the
+# dominant steady-state insertion cost (~44% at 30K: TPU scalar gathers
+# run ~8 ns/element). Witness lists barely change between consecutive
+# insertions, and distance rows depend only on the sequences — so the
+# loop amortizes the gather over an *epoch* of T insertions:
+#
+#   * at epoch start, precompute SIDE0[e, t] = side-value of edge e for
+#     insertion t across the whole epoch in one batched pass. Batching
+#     turns the scalar gather into a row gather from the transposed
+#     row block [bank, T] — every witness id fetches a T-wide f32 lane
+#     row instead of one scalar, amortizing the per-index cost ~T-fold;
+#   * inside the loop, an edge is *dirty* iff its (cid, cdis) row
+#     changed since epoch start (exact elementwise compare — cheap
+#     sequential vector traffic). Only dirty edges are exact-rescored
+#     through a compact fixed-size buffer; everything else reads
+#     SIDE0[:, t].
+#
+# Bitwise parity with score_edges holds because non-dirty edges see the
+# identical f32 ops on identical values (same row, same cid/cdis), and
+# dirty edges run the identical per-edge formula — so the score vector,
+# and therefore the argmin tie order, is unchanged. One test asserts
+# full-build state equality against the direct path.
+# ---------------------------------------------------------------------------
+
+# (T, tier1, tier2): epoch length in insertions and the two compact
+# rescore sizes; ndirty > tier2 falls back to a full rescore of the
+# epoch (correct, rarely hit — dirty edges accumulate ~tens/insertion).
+SCORER_CFG = (256, 4096, 16384)
+
+
+class _Epoch(NamedTuple):
+    side0: jnp.ndarray   # [E, T] side value per (edge, epoch insertion)
+    rside0: jnp.ndarray  # [E, T] side0 permuted by epoch-start rev
+    cid0: jnp.ndarray    # [E, K] witness ids at epoch start
+    cdis0: jnp.ndarray   # [E, K] witness distances at epoch start
+    rev0: jnp.ndarray    # [E]    reverse-edge ids at epoch start
+    t0: jnp.ndarray      # scalar int32 insertion id of epoch start
+
+
+def _make_epoch(st: TreeState, rows_T, t0) -> _Epoch:
+    """Precompute SIDE0 for insertions t0..t0+T-1 from the current
+    witness lists. rows_T is [T, bank] distance rows (from the block
+    prefetch). Tiled over edges to bound the [rows, K, T] transient."""
+    E, Kk = st.cid.shape
+    T = rows_T.shape[0]
+    RT = rows_T.T                                     # [bank, T]
+    tile = max(1, (512 * 2 ** 20) // (Kk * T * RT.dtype.itemsize))
+    parts = []
+    for a in range(0, E, tile):
+        b = min(E, a + tile)
+        cid_c = st.cid[a:b]
+        G = RT[jnp.maximum(cid_c, 0).reshape(-1)].reshape(b - a, Kk, T)
+        dv = jnp.where((cid_c != -1)[:, :, None],
+                       G - st.cdis[a:b, :, None], -jnp.inf)
+        parts.append(jnp.maximum(jnp.max(dv, axis=1), 0.0))
+    side0 = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    rside0 = side0[jnp.maximum(st.rev, 0)]
+    return _Epoch(side0, rside0, st.cid, st.cdis, st.rev,
+                  jnp.asarray(t0, jnp.int32))
+
+
+def _sentinel_epoch(st: TreeState, T: int, t0) -> _Epoch:
+    """Epoch that marks every edge dirty (cid0 = -2 matches nothing), so
+    scoring always takes the full-rescore branch — used when the loop
+    enters at an insertion id not aligned to the epoch grid (checkpoint
+    resume, --add backbones): at most T-1 insertions run at legacy cost
+    before the first real epoch."""
+    E, Kk = st.cid.shape
+    dtype = st.length.dtype
+    return _Epoch(jnp.zeros((E, T), dtype), jnp.zeros((E, T), dtype),
+                  jnp.full((E, Kk), -2, jnp.int32), st.cdis, st.rev,
+                  jnp.asarray(t0, jnp.int32))
+
+
+def _score_edges_epoch(st: TreeState, row, ep: _Epoch, t, tiers):
+    """score_edges via the epoch cache: bitwise-identical
+    (eid, frac, add). `t` is the insertion offset within the epoch."""
+    E, Kk = st.cid.shape
+    iota_e = jnp.arange(E, dtype=jnp.int32)
+    dirty = jnp.any((st.cid != ep.cid0) | (st.cdis != ep.cdis0), axis=1)
+    rank = jnp.cumsum(dirty.astype(jnp.int32)) - 1
+    ndirty = jnp.sum(dirty.astype(jnp.int32))
+    rev_changed = (st.rev != ep.rev0) & (st.belong >= 0)
+
+    def tier_branch(cap: int):
+        # 6 rev slots are rewritten per splice, so the fix set (edges
+        # whose dis2 cannot come from rside0) is bounded by
+        # ndirty + 6 * (insertions this epoch) <= cap + 6 * T.
+        capf = cap + 6 * ep.side0.shape[1]
+
+        def br():
+            tgt = jnp.where(dirty & (rank < cap), rank, cap + iota_e)
+            ids_c = jnp.full((cap,), E, jnp.int32).at[tgt].set(
+                iota_e, mode="drop", unique_indices=True)
+            valid_c = jnp.arange(cap, dtype=jnp.int32) < ndirty
+            idc = jnp.minimum(ids_c, E - 1)  # clamp pad slots for gathers
+            se = _side_vector(st.cid[idc], st.cdis[idc], row)   # [cap]
+            wr = jnp.where(valid_c, ids_c,
+                           E + jnp.arange(cap, dtype=jnp.int32))
+            side = jax.lax.dynamic_index_in_dim(ep.side0, t, axis=1,
+                                                keepdims=False)
+            side = side.at[wr].set(se, mode="drop", unique_indices=True)
+            # dis2[e] = side[rev[e]] — valid from rside0 unless rev[e]
+            # changed since epoch start or rev[e] is dirty. The latter
+            # set is exactly rev0[dirty] (rev0 is an involution on the
+            # slots used at epoch start; dirty NEW slots have rev0=-1,
+            # but their reverse partners are rev-changed, so dropping
+            # them keeps the union complete).
+            r0 = ep.rev0[idc]
+            fix_ids = jnp.where(valid_c & (r0 >= 0), r0,
+                                E + jnp.arange(cap, dtype=jnp.int32))
+            need = rev_changed.at[fix_ids].set(True, mode="drop",
+                                               unique_indices=True)
+            frank = jnp.cumsum(need.astype(jnp.int32)) - 1
+            ftgt = jnp.where(need & (frank < capf), frank, capf + iota_e)
+            fids = jnp.full((capf,), E, jnp.int32).at[ftgt].set(
+                iota_e, mode="drop", unique_indices=True)
+            nfix = jnp.sum(need.astype(jnp.int32))
+            fvalid = jnp.arange(capf, dtype=jnp.int32) < nfix
+            fidc = jnp.minimum(fids, E - 1)
+            d2v = side[jnp.maximum(st.rev[fidc], 0)]
+            fwr = jnp.where(fvalid, fids,
+                            E + jnp.arange(capf, dtype=jnp.int32))
+            dis2 = jax.lax.dynamic_index_in_dim(ep.rside0, t, axis=1,
+                                                keepdims=False)
+            dis2 = dis2.at[fwr].set(d2v, mode="drop", unique_indices=True)
+            return side, dis2
+
+        return br
+
+    def full_branch():
+        side = _side_vector(st.cid, st.cdis, row)
+        return side, side[st.rev]
+
+    t1, t2 = tiers
+    tier = ((ndirty > t1).astype(jnp.int32)
+            + (ndirty > t2).astype(jnp.int32))
+    side, dis2 = jax.lax.switch(
+        tier, [tier_branch(t1), tier_branch(t2), full_branch])
+    return _finish_score(st, side, dis2)
 
 
 def _insert_merge_lists(cd1, id1, cd2, id2, dtype):
@@ -427,7 +596,8 @@ def splice(st: TreeState, eid, frac, add, place_id, num_sequences: int,
         adj = adj.at[middle].set(jnp.stack([i0, i1, i3])) \
             .at[outside].set(jnp.stack([i2, jnp.int32(-1), jnp.int32(-1)]))
 
-    return TreeState(e, belong, length, rev, cdis, cid, st.idx + 4, adj)
+    return TreeState(e, belong, length, rev, cdis, cid, st.idx + 4, adj,
+                     st.nfb)
 
 
 # ---------------------------------------------------------------------------
@@ -528,7 +698,45 @@ def _make_block_fn(frontend_args, frontend: str, frontend_static,
             )
 
         return block
+    if frontend == "matrix":
+        # rows are already resident; a "block" is just a row slice —
+        # gives the matrix frontend the same epoch-scorer loop shape
+        (D,) = frontend_args
+        Ds = _pad_rows_to(D, n_pad)
+
+        def block(start):
+            return jax.lax.dynamic_slice_in_dim(Ds, start, B, axis=0)
+
+        return block
+    if frontend == "rows":
+        # distance rows precomputed OUTSIDE the loop (run_placement_
+        # chunked): R[j] is the row of insertion row0 + j. Keeps the
+        # insert-range program free of distance kernels — one compile
+        # serves every frontend per cap bucket, and the program is far
+        # smaller (the in-loop mash/msa kernels dominated its compile,
+        # which is what crashed the tunnel's AOT service at N=100K).
+        R, row0 = frontend_args
+
+        def block(start):
+            return jax.lax.dynamic_slice_in_dim(R, start - row0, B, axis=0)
+
+        return block
     return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frontend", "frontend_static", "dtype_name", "B"),
+)
+def _row_block(frontend_args, start, *, frontend: str, frontend_static,
+               dtype_name: str, B: int):
+    """One [B, bank] block of distance rows for insertions
+    start..start+B-1 — the same computation the in-loop prefetch ran,
+    dispatched standalone (its [256, cap] programs are small and
+    persistently cached)."""
+    fn = _make_block_fn(frontend_args, frontend, frontend_static,
+                        dtype_name, 0, B)
+    return fn(jnp.asarray(start, jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -557,10 +765,12 @@ def run_placement(frontend_args, *, num_sequences: int, frontend: str,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_sequences", "frontend", "frontend_static", "dtype_name"),
+    static_argnames=("num_sequences", "frontend", "frontend_static",
+                     "dtype_name", "scorer_cfg"),
 )
 def run_placement_full(frontend_args, *, num_sequences: int, frontend: str,
-                       frontend_static=(), dtype_name: str) -> TreeState:
+                       frontend_static=(), dtype_name: str,
+                       scorer_cfg=SCORER_CFG) -> TreeState:
     """Like run_placement but returns the full TreeState (the D&C
     pipeline needs rev + witness lists for phases 2-3)."""
     N = num_sequences
@@ -572,14 +782,19 @@ def run_placement_full(frontend_args, *, num_sequences: int, frontend: str,
     st = update_closest_bfs(st, jnp.int32(0), 2 * N)
     st = update_closest_bfs(st, jnp.int32(1), 2 * N)
     return _blocked_insert_loop(
-        st, 2, N, frontend_args, frontend, frontend_static, dtype_name, N)
+        st, 2, N, frontend_args, frontend, frontend_static, dtype_name, N,
+        scorer_cfg)
 
 
 def _blocked_insert_loop(st, lo, hi, frontend_args, frontend: str,
-                         frontend_static, dtype_name: str, N: int):
+                         frontend_static, dtype_name: str, N: int,
+                         scorer_cfg=SCORER_CFG):
     """fori_loop over insertions lo..hi-1 with ROW_BLOCK-row distance
-    prefetch (see _make_block_fn). lo/hi may be traced (the chunked
-    driver reuses one compile for every insertion range)."""
+    prefetch (see _make_block_fn) and the epoch witness scorer
+    (see _score_edges_epoch). lo/hi may be traced (the chunked driver
+    reuses one compile for every insertion range). scorer_cfg=None runs
+    the direct per-insertion score_edges (the legacy path, kept for
+    parity tests and as the fallback reference)."""
     B = ROW_BLOCK
     block_fn = _make_block_fn(
         frontend_args, frontend, frontend_static, dtype_name, N, B)
@@ -592,21 +807,71 @@ def _blocked_insert_loop(st, lo, hi, frontend_args, frontend: str,
 
         return jax.lax.fori_loop(lo, hi, body, st)
 
-    blk0 = block_fn((jnp.asarray(lo, jnp.int32) // B) * B)
+    lo32 = jnp.asarray(lo, jnp.int32)
+    blk0 = block_fn((lo32 // B) * B)
+
+    if scorer_cfg is None:
+        def body(i, carry):
+            st, blk = carry
+            i32 = jnp.asarray(i, jnp.int32)
+            start = (i32 // B) * B
+            blk = jax.lax.cond((i32 == start) & (i32 > lo32),
+                               block_fn, lambda _: blk, start)
+            row = jax.lax.dynamic_index_in_dim(blk, i32 - start, axis=0,
+                                               keepdims=False)
+            eid, frac, add = score_edges(st, row)
+            st = splice(st, eid, frac, add, i, N)
+            st = update_closest_bfs(st, i, 2 * N)
+            return st, blk
+
+        st, _ = jax.lax.fori_loop(lo, hi, body, (st, blk0))
+        return st
+
+    T, t1, t2 = scorer_cfg
+    E = st.e.shape[0]
+    T = min(T, B)
+    if B % T:
+        raise ValueError(f"epoch length {T} must divide ROW_BLOCK {B}")
+    t1, t2 = min(t1, E), min(t2, E)
+
+    def entry_epoch():
+        off = lo32 % B
+        # aligned entries slice their rows from blk0 (off is then a
+        # multiple of T <= B - T, so the slice never clamps)
+        rows_T = jax.lax.dynamic_slice_in_dim(blk0, off, T, axis=0)
+        return _make_epoch(st, rows_T, lo32)
+
+    ep0 = jax.lax.cond(lo32 % T == 0, entry_epoch,
+                       lambda: _sentinel_epoch(st, T, lo32))
 
     def body(i, carry):
-        st, blk = carry
+        st, blk, ep = carry
         i32 = jnp.asarray(i, jnp.int32)
-        start = (i32 // B) * B
-        blk = jax.lax.cond(i32 == start, block_fn, lambda _: blk, start)
-        row = jax.lax.dynamic_index_in_dim(blk, i32 - start, axis=0,
+        bstart = (i32 // B) * B
+        blk = jax.lax.cond((i32 == bstart) & (i32 > lo32),
+                           block_fn, lambda _: blk, bstart)
+        estart = (i32 // T) * T
+
+        def fresh(args):
+            st_, blk_ = args
+            rows_T = jax.lax.dynamic_slice_in_dim(
+                blk_, estart - bstart, T, axis=0)
+            return _make_epoch(st_, rows_T, estart)
+
+        # the entry iteration reuses ep0 (built outside) unless it was
+        # the unaligned-entry sentinel, which a fresh aligned epoch
+        # must replace
+        ep = jax.lax.cond((i32 == estart) & (i32 > ep.t0),
+                          fresh, lambda _: ep, (st, blk))
+        row = jax.lax.dynamic_index_in_dim(blk, i32 - bstart, axis=0,
                                            keepdims=False)
-        eid, frac, add = score_edges(st, row)
+        eid, frac, add = _score_edges_epoch(st, row, ep, i32 - ep.t0,
+                                            (t1, t2))
         st = splice(st, eid, frac, add, i, N)
         st = update_closest_bfs(st, i, 2 * N)
-        return st, blk
+        return st, blk, ep
 
-    st, _ = jax.lax.fori_loop(lo, hi, body, (st, blk0))
+    st, _, _ = jax.lax.fori_loop(lo, hi, body, (st, blk0, ep0))
     return st
 
 
@@ -642,14 +907,14 @@ def init_placement_state(frontend_args, *, num_sequences: int, frontend: str,
 @functools.partial(
     jax.jit,
     static_argnames=("num_sequences", "frontend", "frontend_static",
-                     "dtype_name"),
+                     "dtype_name", "scorer_cfg"),
 )
 def run_insert_range(st: TreeState, lo, hi, frontend_args, *,
                      num_sequences: int, frontend: str, frontend_static=(),
-                     dtype_name: str) -> TreeState:
+                     dtype_name: str, scorer_cfg=SCORER_CFG) -> TreeState:
     return _blocked_insert_loop(
         st, lo, hi, frontend_args, frontend, frontend_static, dtype_name,
-        num_sequences)
+        num_sequences, scorer_cfg)
 
 
 def save_tree_state(path: str, st, next_i: int, num_sequences: int,
@@ -704,10 +969,13 @@ def load_tree_state(path: str, num_sequences: int, dtype,
                 "tree-state mismatch: checkpoint fingerprint "
                 f"{saved!r} != run fingerprint {want!r}; refusing to "
                 "resume on mismatched inputs")
-    missing = [f for f in cls._fields if f not in d and f != "adj"]
+    optional = {"adj", "nfb"}
+    missing = [f for f in cls._fields if f not in d and f not in optional]
     if missing:
         raise SystemExit(f"tree-state file is missing arrays: {missing}")
     st = cls(*(jnp.asarray(d[f]) if f in d else None for f in cls._fields))
+    if cls is TreeState and st.nfb is None:
+        st = st._replace(nfb=jnp.int32(0))
     if cls is TreeState and st.adj is None:
         # pre-adjacency checkpoint: rebuild the out-edge table — only
         # if out-degree <= 3 everywhere (a multifurcating backbone
@@ -741,6 +1009,11 @@ def load_tree_state(path: str, num_sequences: int, dtype,
 
 _CAP_MIN = 2048  # below this, full-width dispatch is already trivial
 
+# resident distance-rows buffer budget per insert range (run_placement_
+# chunked rows-outside path); ranges shrink below the checkpoint chunk
+# when cap * chunk rows would exceed it
+_ROWS_BYTES = 3 * 2 ** 29
+
 
 def _cap_for(hi: int, N: int) -> int:
     c = _CAP_MIN
@@ -756,7 +1029,8 @@ def _resize_state(st: TreeState, E: int, dtype) -> TreeState:
     if cur > E:
         return TreeState(st.e[:E], st.belong[:E], st.length[:E],
                          st.rev[:E], st.cdis[:E], st.cid[:E], st.idx,
-                         st.adj)  # adj is [2N, 3] node-indexed: uncapped
+                         st.adj,  # adj is [2N, 3] node-indexed: uncapped
+                         st.nfb)
     p = E - cur
     return TreeState(
         jnp.concatenate([st.e, jnp.full((p,), -1, jnp.int32)]),
@@ -767,6 +1041,7 @@ def _resize_state(st: TreeState, E: int, dtype) -> TreeState:
         jnp.concatenate([st.cid, jnp.full((p, K), -1, jnp.int32)]),
         st.idx,
         st.adj,
+        st.nfb,
     )
 
 
@@ -788,7 +1063,7 @@ def run_placement_chunked(frontend_args, *, num_sequences: int, frontend: str,
                           chunk: int = 8192, save_state: str | None = None,
                           load_state: str | None = None,
                           fingerprint: dict | None = None,
-                          use_caps: bool = True,
+                          use_caps: bool = True, scorer_cfg=SCORER_CFG,
                           log=None) -> TreeState:
     """Whole build via bounded dispatches; identical output to
     run_placement_full (same loop body; one compile per pow2 prefix-cap
@@ -799,6 +1074,7 @@ def run_placement_chunked(frontend_args, *, num_sequences: int, frontend: str,
     dtype = jnp.dtype(dtype_name)
     kw = dict(num_sequences=N, frontend=frontend,
               frontend_static=frontend_static, dtype_name=dtype_name)
+    kw_range = dict(kw, scorer_cfg=scorer_cfg)
     fp = dict(fingerprint or {})
     fp.update(frontend=frontend, dtype=dtype_name)
     if load_state and os.path.exists(load_state):
@@ -810,35 +1086,67 @@ def run_placement_chunked(frontend_args, *, num_sequences: int, frontend: str,
         i0 = 2
     import time
 
+    # mash/msa rows are computed OUTSIDE the insert-range program (one
+    # small cached [ROW_BLOCK, cap] block dispatch at a time) and fed in
+    # as a resident buffer: the insert program then contains no distance
+    # kernel, so one compile serves every frontend per cap bucket and
+    # the program is small enough for the tunnel's AOT service at big N.
+    # Matrix rows are already resident — its in-loop "block" is a plain
+    # slice, equivalent to the rows path.
+    rows_outside = frontend != "matrix"
+    B = ROW_BLOCK
     cap = N
     fa_cap = frontend_args
-    for lo in range(i0, N, chunk):
-        hi = min(N, lo + chunk)
+    lo = i0
+    while lo < N:
+        hi_ck = min(N, lo + chunk)            # checkpoint-chunk end
         t0 = time.time()
         if use_caps:
-            want = _cap_for(hi, N)
+            want = _cap_for(hi_ck, N)
             if want != cap:
                 cap = want
                 fa_cap = _slice_frontend(frontend_args, frontend, cap)
             st = _resize_state(st, 4 * cap, dtype)
-        st = run_insert_range(st, jnp.int32(lo), jnp.int32(hi),
-                              fa_cap, **kw)
+        if rows_outside:
+            # bound the resident rows buffer to ~1.5 GB per range
+            ce = max(B, min(chunk,
+                            (_ROWS_BYTES // (dtype.itemsize * cap))
+                            // B * B))
+            hi = min(hi_ck, lo + ce)
+            lo0 = (lo // B) * B               # row 0 of the buffer
+            R = jnp.concatenate(
+                [_row_block(fa_cap, jnp.int32(lo0 + j * B),
+                            frontend=frontend,
+                            frontend_static=frontend_static,
+                            dtype_name=dtype_name, B=B)
+                 for j in range(ce // B + 1)], axis=0)
+            st = run_insert_range(
+                st, jnp.int32(lo), jnp.int32(hi), (R, jnp.int32(lo0)),
+                num_sequences=N, frontend="rows", frontend_static=(),
+                dtype_name=dtype_name, scorer_cfg=scorer_cfg)
+        else:
+            hi = hi_ck
+            st = run_insert_range(st, jnp.int32(lo), jnp.int32(hi),
+                                  fa_cap, **kw_range)
         # force a real drain with a 4-byte D2H: through the axon tunnel
         # block_until_ready returns before execution finishes, which
         # made per-chunk timings read 0.00 and let the dispatch queue
         # grow unboundedly
         int(jax.device_get(st.idx))
         if log:
+            nfb = (f", {int(jax.device_get(st.nfb))} dense-BFS fallbacks"
+                   if st.nfb is not None else "")
             log(f"Inserted {hi}/{N} "
                 f"({(time.time() - t0) / max(hi - lo, 1) * 1e3:.2f} "
-                f"ms/insertion)")
-        if save_state:
+                f"ms/insertion{nfb})")
+        if save_state and hi == hi_ck:
             # checkpoints always hold the full [4N] layout so a resume
             # (or a different chunk size) never sees a capped shape
             save_tree_state(save_state, _resize_state(st, 4 * N, dtype),
                             hi, N, fp)
             if log:
                 log(f"Checkpointed placement at insertion {hi}/{N}")
+        lo = hi
     return _resize_state(st, 4 * N, dtype)
 
 
@@ -860,11 +1168,13 @@ def _make_row_fn(frontend_args, frontend: str, frontend_static, dtype_name: str)
 @functools.partial(
     jax.jit,
     static_argnames=("num_sequences", "backbone_size", "frontend",
-                     "frontend_static", "dtype_name", "use_adj"),
+                     "frontend_static", "dtype_name", "use_adj",
+                     "scorer_cfg"),
 )
 def run_add_queries(frontend_args, e0, belong0, length0, rev0, *,
                     num_sequences: int, backbone_size: int, frontend: str,
-                    frontend_static=(), dtype_name: str, use_adj: bool = True):
+                    frontend_static=(), dtype_name: str, use_adj: bool = True,
+                    scorer_cfg=SCORER_CFG):
     """--add: seed closest lists from the loaded backbone (BFS per
     backbone leaf, initializeDeviceArrays :241-260), then insert
     queries i = B..N-1 with the edge cursor at 4B-4 (addQuery :887).
@@ -884,6 +1194,7 @@ def run_add_queries(frontend_args, e0, belong0, length0, rev0, *,
         cid=jnp.full((E, K), -1, jnp.int32),
         idx=jnp.int32(4 * B - 4),
         adj=adjacency_from_edges(belong0, 2 * N) if use_adj else None,
+        nfb=jnp.int32(0) if use_adj else None,
     )
 
     def seed(i, st):
@@ -891,7 +1202,8 @@ def run_add_queries(frontend_args, e0, belong0, length0, rev0, *,
 
     st = jax.lax.fori_loop(0, B, seed, st)
     st = _blocked_insert_loop(
-        st, B, N, frontend_args, frontend, frontend_static, dtype_name, N)
+        st, B, N, frontend_args, frontend, frontend_static, dtype_name, N,
+        scorer_cfg)
     return st.e, st.belong, st.length
 
 

@@ -97,6 +97,41 @@ def main():
               f"({iters} iters, best of {reps})")
         sys.stdout.flush()
 
+    # ---- end-to-end insert-range: direct scorer vs epoch scorer ----
+    # (run_insert_range includes the block prefetch + splice + BFS, so
+    # this is the honest whole-loop per-insertion cost on the matrix
+    # frontend — the mash block cost adds on top in production)
+    cfgs = [("direct", None),
+            ("ep-256", (256, 4096, 16384)),
+            ("ep-128", (128, 2048, 8192)),
+            ("ep-512", (512, 8192, 32768))]
+    # epoch-aligned range starts (512 is a multiple of every tested T)
+    # so the sentinel full-rescore entry epoch doesn't skew the epoch
+    # rows; distinct starts per rep defeat tunnel dedup
+    base = (warm - reps * 512) // 512 * 512
+    for name, cfg in cfgs:
+        try:
+            out = KC.run_insert_range(
+                st0, jnp.int32(base), jnp.int32(base + iters), (D,),
+                num_sequences=n, frontend="matrix", dtype_name="float32",
+                scorer_cfg=cfg)
+            np.asarray(out.length)
+            best = 1e9
+            for r in range(reps):
+                lo = base + 512 * (r + 1)
+                t0 = time.time()
+                out = KC.run_insert_range(
+                    st0, jnp.int32(lo), jnp.int32(lo + iters), (D,),
+                    num_sequences=n, frontend="matrix",
+                    dtype_name="float32", scorer_cfg=cfg)
+                np.asarray(out.length)
+                best = min(best, time.time() - t0)
+            print(f"{name:8s} {best/iters*1e3:8.3f} ms/insertion "
+                  f"(insert-range, {iters} iters, best of {reps})")
+        except Exception as e:
+            print(f"{name:8s} FAILED: {type(e).__name__}: {e}"[:300])
+        sys.stdout.flush()
+
 
 if __name__ == "__main__":
     main()

@@ -272,3 +272,55 @@ def test_prefix_caps_match_full(monkeypatch):
         a = np.asarray(getattr(full, f))
         b = np.asarray(getattr(capped, f))
         assert a.shape == b.shape and np.array_equal(a, b), f
+
+
+def test_epoch_scorer_bitwise_matches_direct():
+    """The epoch witness scorer (SIDE0 precompute + dirty-edge compact
+    rescore, _score_edges_epoch) is bitwise identical to the direct
+    per-insertion score_edges on full builds — tiny epoch/tier sizes
+    force many epoch refreshes and all three rescore tiers."""
+    rng = np.random.default_rng(7)
+    n = 257  # not a multiple of any epoch size: exercises tails
+    pts = rng.random((n, 6))
+    D = _scale(
+        np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)))
+    Dj = jnp.asarray(D.astype(np.float32))
+    kw = dict(num_sequences=n, frontend="matrix", dtype_name="float32")
+
+    direct = kclosest.run_placement_full((Dj,), scorer_cfg=None, **kw)
+    for cfg in ((16, 64, 256), (256, 4096, 16384)):
+        ep = kclosest.run_placement_full((Dj,), scorer_cfg=cfg, **kw)
+        for f in kclosest.TreeState._fields:
+            a = np.asarray(getattr(direct, f))
+            b = np.asarray(getattr(ep, f))
+            assert np.array_equal(a, b), (cfg, f)
+
+
+def test_epoch_scorer_unaligned_resume():
+    """Entering the insertion loop at an epoch-unaligned id (checkpoint
+    resume) runs the sentinel full-rescore epoch until the next aligned
+    boundary — bitwise equal to one uninterrupted direct build."""
+    from dipper_tpu.distance.mash import rank_compress, pad_ranks
+    from dipper_tpu.sketch.minhash import sketch_sequences
+
+    from datagen import simulate_unaligned
+
+    rng = np.random.default_rng(31)
+    names, seqs = simulate_unaligned(80, 500, rng)
+    n, k, ss = len(seqs), 12, 100
+    sk = sketch_sequences(seqs, k, ss)
+    ranks = pad_ranks(rank_compress(jnp.asarray(sk)))
+    kw = dict(num_sequences=n, frontend="mash", frontend_static=(k, ss),
+              dtype_name="float64")
+
+    direct = kclosest.run_placement_full((ranks,), scorer_cfg=None, **kw)
+    cfg = (16, 32, 64)
+    st = kclosest.init_placement_state((ranks,), **kw)
+    # split at ids not aligned to the 16-insertion epoch grid
+    for lo, hi in ((2, 19), (19, 45), (45, n)):
+        st = kclosest.run_insert_range(st, jnp.int32(lo), jnp.int32(hi),
+                                       (ranks,), scorer_cfg=cfg, **kw)
+    for f in kclosest.TreeState._fields:
+        a = np.asarray(getattr(direct, f))
+        b = np.asarray(getattr(st, f))
+        assert np.array_equal(a, b), f
