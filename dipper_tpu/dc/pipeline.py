@@ -235,31 +235,19 @@ def _cluster_build(Dq, cd_init, cid_init, lens_init, sz, *, cmax: int,
 _STREAM_ROW_BLOCK = 256
 
 
-@functools.partial(jax.jit, static_argnames=("cmax", "dtype_name", "kmer",
-                                             "sketch_size", "row_block"))
-def _cluster_build_stream_mash(ranks, wit_ids, mem_ids, cd_init, cid_init,
-                               lens_init, sz, *, cmax: int, dtype_name: str,
-                               kmer: int, sketch_size: int,
-                               row_block: int = _STREAM_ROW_BLOCK):
+def _stream_build_loop(block_fn, cd_init, cid_init, lens_init, sz,
+                       cmax: int, dtype, Bb: int):
     """Single huge-cluster build with STREAMED distance rows.
 
     The vmapped/per-cluster paths precompute Dq [cmax, W~cmax] — a
     quadratic tensor that is ~10 GB for one 50K-query cluster (the
     N=100K phase-3 ResourceExhausted). The reference never holds this:
     it computes each query's row against the masked leaf list on the
-    fly (distSpecialIDConstructionOnGpuDC :559-601). This build does
-    the TPU equivalent — _STREAM_ROW_BLOCK query rows at a time from
-    the rank bank inside the insertion fori_loop (peak [256, W]) — and
-    carries an adjacency table so the witness BFS is frontier-compact
-    (O(frontier) per level, not O(E); E = 4*cmax here).
-
-    Distances use the same integer-intersection kernel + the same
-    _inter_to_dist formula, so counts are bitwise identical to the
-    precomputed paths (float conversion on TPU is elementwise and
-    shape-independent)."""
-    from dipper_tpu.distance.mash import _inter_to_dist, mash_pairwise_inter
-
-    dtype = jnp.dtype(dtype_name)
+    fly (distSpecialIDConstructionOnGpuDC :559-601, msa.cu:269-435 for
+    aligned input). This loop is the TPU equivalent — `block_fn(start)`
+    yields [Bb, W] rows for queries start..start+Bb-1 inside the
+    insertion fori_loop — and the state carries an adjacency table so
+    the witness BFS is frontier-compact (O(frontier) per level)."""
     st = _cluster_init_state(cd_init, cid_init, lens_init, cmax, dtype,
                              with_adj=True)
     perm = jnp.asarray(_mask_order_perm(cmax))
@@ -269,24 +257,6 @@ def _cluster_build_stream_mash(ranks, wit_ids, mem_ids, cd_init, cid_init,
     )
     scoreable0 = jnp.zeros((2 + 4 * cmax,), jnp.bool_).at[0].set(True)
     grp = jnp.asarray(_new_group_scoreable())
-
-    bank = ranks[wit_ids]        # [W, M] witness sketches
-    qsrc = ranks[mem_ids]        # [cmax, M] member sketches
-    Bb = min(row_block, cmax)
-    # pad the query source to a block multiple: dynamic_slice CLAMPS
-    # out-of-range starts, so an unpadded tail block would silently
-    # serve shifted rows (observed at cmax=34, Bb=4: block start 32
-    # clamped to 30 fed queries 30/31 in place of 32/33)
-    padq = (-cmax) % Bb
-    if padq:
-        qsrc = jnp.concatenate(
-            [qsrc, jnp.broadcast_to(qsrc[-1:], (padq, qsrc.shape[1]))],
-            axis=0)
-
-    def block_fn(start):
-        q = jax.lax.dynamic_slice_in_dim(qsrc, start, Bb, axis=0)
-        inter = mash_pairwise_inter(bank, q, sketch_size=sketch_size)
-        return _inter_to_dist(inter, kmer, sketch_size, dtype)  # [Bb, W]
 
     def body(kq, carry):
         st, scoreable, blk = carry
@@ -310,6 +280,92 @@ def _cluster_build_stream_mash(ranks, wit_ids, mem_ids, cd_init, cid_init,
     st, _, _ = jax.lax.fori_loop(0, cmax, masked_body,
                                  (st, scoreable0, blk0))
     return st.e, st.belong, st.length
+
+
+def _pad_block_multiple(x, Bb: int):
+    """Pad axis 0 to a multiple of Bb by repeating the last row:
+    dynamic_slice CLAMPS out-of-range starts, so an unpadded tail block
+    would silently serve shifted rows (observed at cmax=34, Bb=4:
+    block start 32 clamped to 30 fed queries 30/31 in place of 32/33)."""
+    pad = (-x.shape[0]) % Bb
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("cmax", "dtype_name", "kmer",
+                                             "sketch_size", "row_block"))
+def _cluster_build_stream_mash(ranks, wit_ids, mem_ids, cd_init, cid_init,
+                               lens_init, sz, *, cmax: int, dtype_name: str,
+                               kmer: int, sketch_size: int,
+                               row_block: int = _STREAM_ROW_BLOCK):
+    """Streamed mash cluster build: rows from the rank bank through the
+    same integer-intersection kernel + _inter_to_dist LUT as the batch
+    paths, so distances are bitwise identical to the precomputed Dq."""
+    from dipper_tpu.distance.mash import _inter_to_dist, mash_pairwise_inter
+
+    dtype = jnp.dtype(dtype_name)
+    bank = ranks[wit_ids]        # [W, M] witness sketches
+    qsrc = _pad_block_multiple(ranks[mem_ids], min(row_block, cmax))
+    Bb = min(row_block, cmax)
+
+    def block_fn(start):
+        q = jax.lax.dynamic_slice_in_dim(qsrc, start, Bb, axis=0)
+        inter = mash_pairwise_inter(bank, q, sketch_size=sketch_size)
+        return _inter_to_dist(inter, kmer, sketch_size, dtype)  # [Bb, W]
+
+    return _stream_build_loop(block_fn, cd_init, cid_init, lens_init, sz,
+                              cmax, dtype, Bb)
+
+
+@functools.partial(jax.jit, static_argnames=("cmax", "dtype_name",
+                                             "distance_type", "row_block"))
+def _cluster_build_stream_msa(codes_w, ng_w, codes_m, ng_m, cd_init,
+                              cid_init, lens_init, sz, *, cmax: int,
+                              dtype_name: str, distance_type: int,
+                              row_block: int = _STREAM_ROW_BLOCK):
+    """Streamed MSA cluster build: witness codes stay packed [W, L]
+    bytes on device; each query block one-hot expands on the fly inside
+    msa_tiled_block (reference streams SpecialID distances likewise,
+    dc/msa.cu:269-435). Peak transient is [tile, 5, L] int8 instead of
+    the quadratic [cmax, W, 5, L] staging of the batch path."""
+    from dipper_tpu.distance.msa import msa_tiled_block
+
+    dtype = jnp.dtype(dtype_name)
+    Bb = min(row_block, cmax)
+    codes_m = _pad_block_multiple(codes_m, Bb)
+    ng_m = _pad_block_multiple(ng_m, Bb)
+
+    def block_fn(start):
+        cq = jax.lax.dynamic_slice_in_dim(codes_m, start, Bb, axis=0)
+        nq = jax.lax.dynamic_slice_in_dim(ng_m, start, Bb, axis=0)
+        return msa_tiled_block(cq, nq, codes_w, ng_w,
+                               distance_type=distance_type,
+                               dtype_name=dtype_name)  # [Bb, W]
+
+    return _stream_build_loop(block_fn, cd_init, cid_init, lens_init, sz,
+                              cmax, dtype, Bb)
+
+
+@functools.partial(jax.jit, static_argnames=("cmax", "dtype_name",
+                                             "row_block"))
+def _cluster_build_stream_matrix(Dm, wit_ids, mem_ids, cd_init, cid_init,
+                                 lens_init, sz, *, cmax: int,
+                                 dtype_name: str,
+                                 row_block: int = _STREAM_ROW_BLOCK):
+    """Streamed matrix cluster build: rows gathered from the resident
+    matrix — bitwise identical to the batch path's Dm[mem][:, wit]."""
+    dtype = jnp.dtype(dtype_name)
+    Bb = min(row_block, cmax)
+    mem_pad = _pad_block_multiple(mem_ids, Bb)
+
+    def block_fn(start):
+        mids = jax.lax.dynamic_slice_in_dim(mem_pad, start, Bb, axis=0)
+        return Dm[mids][:, wit_ids].astype(dtype)  # [Bb, W]
+
+    return _stream_build_loop(block_fn, cd_init, cid_init, lens_init, sz,
+                              cmax, dtype, Bb)
 
 
 @functools.lru_cache(maxsize=None)
@@ -601,8 +657,7 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
                 + np.minimum(colj, sizes[rows][:, None] - 1)
             mem_b = sorted_q[take]                         # [c, cmax_b]
             wit_b = np.concatenate([wit_head[rows], mem_b], axis=1)
-            stream = (frontend == "mash"
-                      and cmax_b >= _STREAM_CLUSTER_MIN)
+            stream = cmax_b >= _STREAM_CLUSTER_MIN
             _tb = _time.time()
             _ndisp = 0
             _t_dist = _t_asm = 0.0
@@ -610,16 +665,33 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
             if stream:
                 # huge clusters one at a time, rows streamed in-loop
                 for j, ci in enumerate(rows):
-                    le, lb, ll = _cluster_build_stream_mash(
-                        ranks, jnp.asarray(wit_b[j]), jnp.asarray(mem_b[j]),
-                        jnp.asarray(cd_init[ci], dtype),
-                        jnp.asarray(cid_init[ci], jnp.int32),
-                        jnp.asarray(lens_init[ci], dtype),
-                        jnp.asarray(sizes[ci], jnp.int32),
-                        cmax=cmax_b, dtype_name=dtype_name,
-                        kmer=params.kmer_size,
-                        sketch_size=params.sketch_size,
-                        row_block=_STREAM_ROW_BLOCK)
+                    init = (jnp.asarray(cd_init[ci], dtype),
+                            jnp.asarray(cid_init[ci], jnp.int32),
+                            jnp.asarray(lens_init[ci], dtype),
+                            jnp.asarray(sizes[ci], jnp.int32))
+                    if frontend == "mash":
+                        le, lb, ll = _cluster_build_stream_mash(
+                            ranks, jnp.asarray(wit_b[j]),
+                            jnp.asarray(mem_b[j]), *init,
+                            cmax=cmax_b, dtype_name=dtype_name,
+                            kmer=params.kmer_size,
+                            sketch_size=params.sketch_size,
+                            row_block=_STREAM_ROW_BLOCK)
+                    elif frontend == "msa":
+                        le, lb, ll = _cluster_build_stream_msa(
+                            jnp.asarray(codes_host[wit_b[j]]),
+                            jnp.asarray(nongap_host[wit_b[j]], dtype),
+                            jnp.asarray(codes_host[mem_b[j]]),
+                            jnp.asarray(nongap_host[mem_b[j]], dtype),
+                            *init, cmax=cmax_b, dtype_name=dtype_name,
+                            distance_type=params.distance_type,
+                            row_block=_STREAM_ROW_BLOCK)
+                    else:
+                        le, lb, ll = _cluster_build_stream_matrix(
+                            Dm, jnp.asarray(wit_b[j]),
+                            jnp.asarray(mem_b[j]), *init,
+                            cmax=cmax_b, dtype_name=dtype_name,
+                            row_block=_STREAM_ROW_BLOCK)
                     _ndisp += 1
                     _ta = _time.time()
                     assemble(np.array([ci]), jax.device_get(le)[None],

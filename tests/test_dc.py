@@ -181,3 +181,41 @@ def test_dc_streaming_big_cluster_path(monkeypatch):
     r, nrf = rf(got, want)
     assert r == 0, f"nRF={nrf}"
     assert got == want  # branch lengths bitwise too
+
+
+def test_dc_streaming_msa_and_matrix(monkeypatch):
+    """The streamed big-cluster build now covers every frontend (the
+    quadratic [cmax, W] precompute was still reachable for -i m / -i d
+    runs with a dominant cluster). Matrix rows are gathered from the
+    resident matrix, so the forced-stream tree is byte-identical; MSA
+    rows go through msa_tiled_block whose pair counts are integer-exact
+    (the log conversion may differ in the last ulp between programs, so
+    the assertion is topology+lengths via rf, with byte equality
+    expected in practice)."""
+    import dipper_tpu.dc.pipeline as pl
+    from dipper_tpu.dc.pipeline import build_dc_tree, build_dc_tree_from_matrix
+    from dipper_tpu.io.encode import batch_codes, encode_4bit_codes
+    from dipper_tpu.utils.treecmp import rf_distance as rf
+    from datagen import simulate_alignment
+
+    rng = np.random.default_rng(29)
+    names, seqs = simulate_alignment(120, 700, rng, gap_frac=0.03,
+                                     blen_scale=0.5)
+    params = Param(distance_type=2, in_format="m", dtype="float64",
+                   backbone_size=10, batch_size=10)
+    want_msa = build_dc_tree(seqs, names, params)
+
+    codes, _ = batch_codes(seqs, encode_4bit_codes, pad_value=4)
+    D = orc.msa_distance_matrix(codes, 2)
+    params_m = Param(in_format="d", dtype="float64",
+                     backbone_size=10, batch_size=10)
+    want_mat = build_dc_tree_from_matrix(D, names, params_m)
+
+    monkeypatch.setattr(pl, "_STREAM_CLUSTER_MIN", 8)
+    monkeypatch.setattr(pl, "_STREAM_ROW_BLOCK", 4)
+    got_msa = build_dc_tree(seqs, names, params)
+    got_mat = build_dc_tree_from_matrix(D, names, params_m)
+
+    r, nrf = rf(got_msa, want_msa)
+    assert r == 0, f"msa stream nRF={nrf}"
+    assert got_mat == want_mat  # byte-identical (no float conversion)
