@@ -413,8 +413,8 @@ SCORER_CFG = (256, 4096, 16384)
 
 
 class _Epoch(NamedTuple):
-    side0: jnp.ndarray   # [E, T] side value per (edge, epoch insertion)
-    rside0: jnp.ndarray  # [E, T] side0 permuted by epoch-start rev
+    side0: jnp.ndarray   # [T, E] side value per (epoch insertion, edge)
+    rside0: jnp.ndarray  # [T, E] side0 permuted by epoch-start rev
     cid0: jnp.ndarray    # [E, K] witness ids at epoch start
     cdis0: jnp.ndarray   # [E, K] witness distances at epoch start
     rev0: jnp.ndarray    # [E]    reverse-edge ids at epoch start
@@ -439,7 +439,9 @@ def _make_epoch(st: TreeState, rows_T, t0) -> _Epoch:
         parts.append(jnp.maximum(jnp.max(dv, axis=1), 0.0))
     side0 = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     rside0 = side0[jnp.maximum(st.rev, 0)]
-    return _Epoch(side0, rside0, st.cid, st.cdis, st.rev,
+    # [T, E] layout: the per-insertion read is then one contiguous row
+    # (an [E, T] column slice costs a cache line per element)
+    return _Epoch(side0.T, rside0.T, st.cid, st.cdis, st.rev,
                   jnp.asarray(t0, jnp.int32))
 
 
@@ -451,7 +453,7 @@ def _sentinel_epoch(st: TreeState, T: int, t0) -> _Epoch:
     before the first real epoch."""
     E, Kk = st.cid.shape
     dtype = st.length.dtype
-    return _Epoch(jnp.zeros((E, T), dtype), jnp.zeros((E, T), dtype),
+    return _Epoch(jnp.zeros((T, E), dtype), jnp.zeros((T, E), dtype),
                   jnp.full((E, Kk), -2, jnp.int32), st.cdis, st.rev,
                   jnp.asarray(t0, jnp.int32))
 
@@ -470,7 +472,7 @@ def _score_edges_epoch(st: TreeState, row, ep: _Epoch, t, tiers):
         # 6 rev slots are rewritten per splice, so the fix set (edges
         # whose dis2 cannot come from rside0) is bounded by
         # ndirty + 6 * (insertions this epoch) <= cap + 6 * T.
-        capf = cap + 6 * ep.side0.shape[1]
+        capf = cap + 6 * ep.side0.shape[0]
 
         def br():
             tgt = jnp.where(dirty & (rank < cap), rank, cap + iota_e)
@@ -481,7 +483,7 @@ def _score_edges_epoch(st: TreeState, row, ep: _Epoch, t, tiers):
             se = _side_vector(st.cid[idc], st.cdis[idc], row)   # [cap]
             wr = jnp.where(valid_c, ids_c,
                            E + jnp.arange(cap, dtype=jnp.int32))
-            side = jax.lax.dynamic_index_in_dim(ep.side0, t, axis=1,
+            side = jax.lax.dynamic_index_in_dim(ep.side0, t, axis=0,
                                                 keepdims=False)
             side = side.at[wr].set(se, mode="drop", unique_indices=True)
             # dis2[e] = side[rev[e]] — valid from rside0 unless rev[e]
@@ -505,7 +507,7 @@ def _score_edges_epoch(st: TreeState, row, ep: _Epoch, t, tiers):
             d2v = side[jnp.maximum(st.rev[fidc], 0)]
             fwr = jnp.where(fvalid, fids,
                             E + jnp.arange(capf, dtype=jnp.int32))
-            dis2 = jax.lax.dynamic_index_in_dim(ep.rside0, t, axis=1,
+            dis2 = jax.lax.dynamic_index_in_dim(ep.rside0, t, axis=0,
                                                 keepdims=False)
             dis2 = dis2.at[fwr].set(d2v, mode="drop", unique_indices=True)
             return side, dis2

@@ -95,7 +95,12 @@ def main():
                     help="branch scale for make_dataset (aligned default"
                          " 1.0 saturates JC at depth — pass ~0.3)")
     ap.add_argument("--workdir", default="/tmp/dipper_acc")
+    ap.add_argument("--methods", default="nj-baseline,upgma,dipper-nj,"
+                    "dipper-place,dipper-exact,dipper-dc",
+                    help="comma list (dipper-exact is ~100x dipper-place"
+                         " on CPU; drop it for large n)")
     args = ap.parse_args()
+    sel = set(args.methods.split(","))
 
     from dipper_tpu.io.phylip import write_phylip_lower_triangular
     from dipper_tpu.utils.treecmp import rf_distance_fast
@@ -135,26 +140,47 @@ def main():
             return rf_distance_fast(nwk, true_nwk)[1]
 
         res = {}
-        t0 = time.time()
-        nwk = nj_vectorized(D)
-        nwk = re.sub(r"T(\d+)(?=[:,)])",
-                     lambda mm: names[int(mm.group(1))], nwk)
-        res["nj-baseline"] = (nrf_of(nwk), time.time() - t0)
-        t0 = time.time()
-        nwk = upgma_scipy(D)
-        nwk = re.sub(r"T(\d+)(?=[:,)])",
-                     lambda mm: names[int(mm.group(1))], nwk)
-        res["upgma"] = (nrf_of(nwk), time.time() - t0)
+        if "nj-baseline" in sel:
+            t0 = time.time()
+            nwk = nj_vectorized(D)
+            nwk = re.sub(r"T(\d+)(?=[:,)])",
+                         lambda mm: names[int(mm.group(1))], nwk)
+            res["nj-baseline"] = (nrf_of(nwk), time.time() - t0)
+        if "upgma" in sel:
+            t0 = time.time()
+            nwk = upgma_scipy(D)
+            nwk = re.sub(r"T(\d+)(?=[:,)])",
+                         lambda mm: names[int(mm.group(1))], nwk)
+            res["upgma"] = (nrf_of(nwk), time.time() - t0)
 
         for tag, flags in (("dipper-nj", ["-m", "2"]),
                            ("dipper-place", ["-m", "1"]),
                            ("dipper-exact", ["-m", "0"])):
+            if tag not in sel:
+                continue
             out = os.path.join(
                 args.workdir, f"out_{kind}_n{n}_s{args.seed}_{tag}.nwk")
             secs = run_cli_matrix(phy, out, flags)
             res[tag] = (nrf_of(open(out).read()), secs)
             print(f"[acc] n={n} {tag}: nRF={res[tag][0]:.4f} "
                   f"({secs:.0f}s)", file=sys.stderr)
+
+        if "dipper-dc" in sel:
+            # D&C on the SAME matrix (the CLI mirrors the reference's
+            # matrix+DC rejection, so call the engine directly): forced
+            # -m 3 semantics with the auto backbone N // 20
+            from dipper_tpu.dc import build_dc_tree_from_matrix
+            from dipper_tpu.utils.params import Param
+
+            t0 = time.time()
+            pdc = Param(in_format="d", dtype="float64",
+                        backbone_size=max(4, n // 20),
+                        batch_size=max(4, n // 20))
+            nwk = build_dc_tree_from_matrix(D, names, pdc)
+            res["dipper-dc"] = (nrf_of(nwk), time.time() - t0)
+            print(f"[acc] n={n} dipper-dc (B={pdc.backbone_size}): "
+                  f"nRF={res['dipper-dc'][0]:.4f} "
+                  f"({res['dipper-dc'][1]:.0f}s)", file=sys.stderr)
 
         row = {"n": n, "L": args.L, "frontend": kind, "seed": args.seed,
                "nrf": {k2: round(v[0], 4) for k2, v in res.items()},
@@ -165,8 +191,9 @@ def main():
             f.write(json.dumps(row) + "\n")
         print(json.dumps(row))
 
-    methods = ["nj-baseline", "upgma", "dipper-nj", "dipper-place",
-               "dipper-exact"]
+    methods = [m for m in ("nj-baseline", "upgma", "dipper-nj",
+                           "dipper-place", "dipper-exact", "dipper-dc")
+               if m in sel]
     print("\n| n | frontend | " + " | ".join(methods) + " |")
     print("|" + "---|" * (len(methods) + 2))
     for row in rows:

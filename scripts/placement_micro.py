@@ -101,10 +101,12 @@ def main():
     # (run_insert_range includes the block prefetch + splice + BFS, so
     # this is the honest whole-loop per-insertion cost on the matrix
     # frontend — the mash block cost adds on top in production)
+    # dirty_probe @30K: growth ~3.8 edges/insertion, ndirty p100 ~1031
+    # at T=256 — tier1 2048 covers essentially every insertion
     cfgs = [("direct", None),
-            ("ep-256", (256, 4096, 16384)),
-            ("ep-128", (128, 2048, 8192)),
-            ("ep-512", (512, 8192, 32768))]
+            ("ep-256s", (256, 2048, 8192)),
+            ("ep-128s", (128, 1024, 4096)),
+            ("ep-512s", (512, 2560, 8192))]
     # epoch-aligned range starts (512 is a multiple of every tested T)
     # so the sentinel full-rescore entry epoch doesn't skew the epoch
     # rows; distinct starts per rep defeat tunnel dedup

@@ -62,6 +62,14 @@ def test_sharded_placement_matches_single():
     assert (np.asarray(e1) == np.asarray(e2)).all()
     assert np.allclose(np.asarray(l1), np.asarray(l2), atol=1e-12)
 
+    # tiny epoch/tier sizes force the sharded EPOCH scorer (default
+    # T=256 > n leaves the whole build in the sentinel full-rescore
+    # path): many epoch refreshes + tier rescores, same exact tree
+    e3, b3, l3 = sharded_placement_build(sk, k, ss, mesh, dtype="float64",
+                                         scorer_cfg=(8, 16, 32))
+    assert (np.asarray(e1) == np.asarray(e3)).all()
+    assert np.array_equal(np.asarray(l1), np.asarray(l3))
+
 
 @needs_multi
 def test_sharded_dc_matches_single():
