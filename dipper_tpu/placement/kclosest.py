@@ -408,8 +408,11 @@ def score_edges(st: TreeState, dist_row, edge_mask=None):
 
 # (T, tier1, tier2): epoch length in insertions and the two compact
 # rescore sizes; ndirty > tier2 falls back to a full rescore of the
-# epoch (correct, rarely hit — dirty edges accumulate ~tens/insertion).
-SCORER_CFG = (256, 4096, 16384)
+# epoch (correct, rarely hit). scripts/dirty_probe.py at 30K measured
+# ~3.8 dirty edges/insertion (ndirty p100 ~1031 over a 256-epoch), and
+# scripts/placement_micro.py picked this point: 4.27 ms/insertion vs
+# 7.18 direct at n=30000.
+SCORER_CFG = (128, 1024, 4096)
 
 
 class _Epoch(NamedTuple):
