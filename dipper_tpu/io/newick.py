@@ -176,6 +176,10 @@ def edge_arrays_newick(num_leaves: int, names: List[str], belong, e,
     starts = np.zeros(len(counts) + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
 
+    nat = _native_emit(starts, dst, ln, names, root)
+    if nat is not None:
+        return nat
+
     out: List[str] = []
     dst_l = dst.tolist()
     ln_l = ln.tolist()
@@ -202,6 +206,73 @@ def edge_arrays_newick(num_leaves: int, names: List[str], belong, e,
             stack.append((dst_l[nbrs[i]], node, None))
     out.append(";")
     return "".join(out)
+
+
+_nwlib = None
+_nwlib_tried = False
+
+
+def _native_emit(starts, dst, ln, names, root):
+    """C DFS emit (native/newick.cpp) — byte-identical to the Python
+    stack walk below (asserted by tests), ~30x faster (the Python walk
+    is ~10 s at N=1M). Returns None when the library is unavailable."""
+    global _nwlib, _nwlib_tried
+    import ctypes
+    import numpy as np
+
+    if not _nwlib_tried:
+        _nwlib_tried = True
+        import os
+        import subprocess
+
+        nd = os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..", "..", "native"))
+        so = os.path.join(nd, "libnewick.so")
+        src = os.path.join(nd, "newick.cpp")
+        try:
+            if (not os.path.exists(so)
+                    or (os.path.exists(src)
+                        and os.path.getmtime(src) > os.path.getmtime(so))):
+                subprocess.run(["make", "-C", nd, "libnewick.so"],
+                               check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(so)
+            lib.newick_emit.restype = ctypes.c_int64
+            lib.newick_emit.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+            ]
+            lib.newick_free.argtypes = [ctypes.POINTER(ctypes.c_char)]
+            _nwlib = lib
+        except Exception:
+            _nwlib = None
+    if _nwlib is None:
+        return None
+
+    n_nodes = len(starts) - 1
+    enc = [s.encode() for s in names]
+    enc += [b""] * (n_nodes - len(enc))
+    name_off = np.zeros(n_nodes + 1, np.int64)
+    np.cumsum([len(x) for x in enc], out=name_off[1:])
+    blob = b"".join(enc)
+    if len(dst) == 0:
+        return None  # degenerate input: let the Python walk handle it
+    starts = np.ascontiguousarray(starts, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    ln = np.ascontiguousarray(ln, np.float64)
+    out_p = ctypes.POINTER(ctypes.c_char)()
+    pi64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    pf64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    sz = _nwlib.newick_emit(
+        pi64(starts), n_nodes, pi64(dst), pf64(ln),
+        blob, pi64(name_off), root, ctypes.byref(out_p))
+    try:
+        return ctypes.string_at(out_p, sz).decode()
+    finally:
+        _nwlib.newick_free(out_p)
 
 
 def adjacency_newick(num_leaves: int, names: List[str], edges, root: int) -> str:

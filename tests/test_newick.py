@@ -61,3 +61,31 @@ def test_adjacency_newick_matches_recursion():
     }
     s = adjacency_newick(3, ["A", "B", "C"], edges, 3)
     assert s == "(A:1,(B:2,C:3):0.5);"
+
+
+def test_native_emit_matches_python_walk(monkeypatch):
+    """native/newick.cpp produces byte-identical output to the Python
+    CSR stack walk (including %.6g branch-length formatting) on real
+    placement edge arrays."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dipper_tpu.io import newick as NW
+    from dipper_tpu.placement import kclosest
+
+    rng = np.random.default_rng(3)
+    n = 120
+    pts = rng.random((n, 5))
+    D = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+    D = (D / (D.max() * 1.05)).astype(np.float64)
+    np.fill_diagonal(D, 0.0)
+    e, b, ln = kclosest.run_placement(
+        (jnp.asarray(D),), num_sequences=n, frontend="matrix",
+        dtype_name="float64")
+    names = [f"T{i}" for i in range(n)]
+
+    native = NW.edge_arrays_newick(n, names, b, e, ln, n)
+    assert NW._nwlib is not None  # library built and loaded
+    monkeypatch.setattr(NW, "_nwlib", None)
+    monkeypatch.setattr(NW, "_nwlib_tried", True)
+    python = NW.edge_arrays_newick(n, names, b, e, ln, n)
+    assert native == python
