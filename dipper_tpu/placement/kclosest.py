@@ -1125,12 +1125,16 @@ def run_placement_chunked(frontend_args, *, num_sequences: int, frontend: str,
                             frontend_static=frontend_static,
                             dtype_name=dtype_name, B=B)
                  for j in range(ce // B + 1)], axis=0)
+            # real 4-byte D2H drain (tunnel block_until_ready lies)
+            np.asarray(jax.device_get(R[0, :1]))
+            t_rows = time.time() - t0
             st = run_insert_range(
                 st, jnp.int32(lo), jnp.int32(hi), (R, jnp.int32(lo0)),
                 num_sequences=N, frontend="rows", frontend_static=(),
                 dtype_name=dtype_name, scorer_cfg=scorer_cfg)
         else:
             hi = hi_ck
+            t_rows = 0.0
             st = run_insert_range(st, jnp.int32(lo), jnp.int32(hi),
                                   fa_cap, **kw_range)
         # force a real drain with a 4-byte D2H: through the axon tunnel
@@ -1141,9 +1145,10 @@ def run_placement_chunked(frontend_args, *, num_sequences: int, frontend: str,
         if log:
             nfb = (f", {int(jax.device_get(st.nfb))} dense-BFS fallbacks"
                    if st.nfb is not None else "")
+            per = (time.time() - t0) / max(hi - lo, 1) * 1e3
+            rows_ms = t_rows / max(hi - lo, 1) * 1e3
             log(f"Inserted {hi}/{N} "
-                f"({(time.time() - t0) / max(hi - lo, 1) * 1e3:.2f} "
-                f"ms/insertion{nfb})")
+                f"({per:.2f} ms/insertion, rows {rows_ms:.2f}{nfb})")
         if save_state and hi == hi_ck:
             # checkpoints always hold the full [4N] layout so a resume
             # (or a different chunk size) never sees a capped shape

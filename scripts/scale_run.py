@@ -159,7 +159,7 @@ def main():
     phases = dict(re.findall(r"^([A-Za-z][\w /-]*) in: (\d+) ms", stderr,
                              re.M))
     ins_ms = [float(x) for x in
-              re.findall(r"\(([\d.]+) ms/insertion\)", stderr)]
+              re.findall(r"\(([\d.]+) ms/insertion", stderr)]
     tree_ms = None
     m = re.search(r"Tree Created in: (\d+) ms", stderr)
     if m:
