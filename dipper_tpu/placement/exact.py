@@ -327,21 +327,64 @@ def run_exact_chunked(frontend_args, *, num_sequences: int, frontend: str,
     else:
         st = init_exact_state(frontend_args, **kw)
         i0 = 2
-    for lo in range(i0, N, chunk):
-        hi = min(N, lo + chunk)
+
+    # mash/msa distance rows are computed OUTSIDE the insert program
+    # (small cached block dispatches) exactly as in
+    # kclosest.run_placement_chunked — the in-loop distance kernels
+    # dominated the insert program's compile, which is what crashed the
+    # tunnel's AOT service on the 30K exact program in round 4.
+    from dipper_tpu.placement.kclosest import (
+        ROW_BLOCK, _ROWS_BYTES, _row_block,
+    )
+
+    rows_outside = frontend != "matrix"
+    B = ROW_BLOCK
+    dtype = jnp.dtype(dtype_name)
+    ce = max(B, min(chunk, (_ROWS_BYTES // (dtype.itemsize * N))
+                    // B * B))
+    R_next = None
+    lo = i0
+    while lo < N:
+        hi_ck = min(N, lo + chunk)
         t0 = time.time()
-        st = run_exact_range(st, jnp.int32(lo), jnp.int32(hi),
-                             frontend_args, **kw)
+        if rows_outside:
+            hi = min(hi_ck, lo + ce)
+            lo0 = (lo // B) * B
+            # one dispatch for the whole range's rows; the next range's
+            # rows are enqueued behind the insert dispatch (see
+            # kclosest.run_placement_chunked)
+            if R_next is None:
+                R_next = _row_block(frontend_args, jnp.int32(lo0),
+                                    frontend=frontend,
+                                    frontend_static=frontend_static,
+                                    dtype_name=dtype_name, B=ce + B)
+            R = R_next
+            st = run_exact_range(
+                st, jnp.int32(lo), jnp.int32(hi), (R, jnp.int32(lo0)),
+                num_sequences=N, frontend="rows", frontend_static=(),
+                dtype_name=dtype_name)
+            R_next = None
+            if hi < N:
+                R_next = _row_block(frontend_args,
+                                    jnp.int32((hi // B) * B),
+                                    frontend=frontend,
+                                    frontend_static=frontend_static,
+                                    dtype_name=dtype_name, B=ce + B)
+        else:
+            hi = hi_ck
+            st = run_exact_range(st, jnp.int32(lo), jnp.int32(hi),
+                                 frontend_args, **kw)
         # 4-byte D2H drain; see kclosest.run_placement_chunked
         int(jax.device_get(st.idx))
         if log:
             log(f"Inserted {hi}/{N} "
                 f"({(time.time() - t0) / max(hi - lo, 1) * 1e3:.2f} "
                 f"ms/insertion)")
-        if save_state:
+        if save_state and hi == hi_ck:
             save_tree_state(save_state, st, hi, N, fp)
             if log:
                 log(f"Checkpointed exact placement at insertion {hi}/{N}")
+        lo = hi
     return st
 
 

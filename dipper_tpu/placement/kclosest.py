@@ -672,7 +672,12 @@ def _make_block_fn(frontend_args, frontend: str, frontend_static,
     actual row count (which the capped chunk driver may have sliced
     below N)."""
     bank_rows = frontend_args[0].shape[0]
-    n_pad = -(-bank_rows // B) * B
+    # one extra block of padding: block starts are B-aligned but may
+    # sit anywhere below bank_rows (the single-dispatch range rows use
+    # B >> ROW_BLOCK with starts aligned to ROW_BLOCK), and
+    # dynamic_slice clamps — an under-padded source would silently
+    # serve shifted rows
+    n_pad = -(-bank_rows // B) * B + B
     if frontend == "mash":
         from dipper_tpu.distance.mash import mash_pairwise
 
@@ -1091,49 +1096,65 @@ def run_placement_chunked(frontend_args, *, num_sequences: int, frontend: str,
         i0 = 2
     import time
 
-    # mash/msa rows are computed OUTSIDE the insert-range program (one
-    # small cached [ROW_BLOCK, cap] block dispatch at a time) and fed in
-    # as a resident buffer: the insert program then contains no distance
-    # kernel, so one compile serves every frontend per cap bucket and
-    # the program is small enough for the tunnel's AOT service at big N.
-    # Matrix rows are already resident — its in-loop "block" is a plain
-    # slice, equivalent to the rows path.
+    # mash/msa rows are computed OUTSIDE the insert-range program and
+    # fed in as a resident buffer: the insert program then contains no
+    # distance kernel, so one compile serves every frontend per cap
+    # bucket and the program is small enough for the tunnel's AOT
+    # service at big N. One dispatch computes a whole range's rows, and
+    # the NEXT range's rows are enqueued behind the current insert
+    # dispatch — the device stream runs them back-to-back, so the row
+    # cost hides behind the insert drain instead of adding ~one host
+    # round-trip per ROW_BLOCK (measured 3.5-12 ms/insertion of pure
+    # dispatch latency through the tunnel). Matrix rows are already
+    # resident — its in-loop "block" is a plain slice.
     rows_outside = frontend != "matrix"
     B = ROW_BLOCK
-    cap = N
+
+    def _range_of(lo):
+        """(hi, lo0, cap, ce) of the insert range starting at lo; ce is
+        the bucket's fixed range length (rows-buffer budget), so every
+        range in a bucket reuses one [ce+B, cap] rows compile."""
+        hi_ck = min(N, lo + chunk)
+        cap = _cap_for(hi_ck, N) if use_caps else N
+        ce = max(B, min(chunk, (_ROWS_BYTES // (dtype.itemsize * cap))
+                        // B * B))
+        hi = min(hi_ck, lo + ce) if rows_outside else hi_ck
+        return hi, (lo // B) * B, cap, ce
+
+    def _rows_for(lo, fa_cap, ce):
+        """One dispatch for the whole range's rows [ce+B, cap] starting
+        at the B-aligned row below lo."""
+        return _row_block(fa_cap, jnp.int32((lo // B) * B),
+                          frontend=frontend,
+                          frontend_static=frontend_static,
+                          dtype_name=dtype_name, B=ce + B)
+
+    cap = None
     fa_cap = frontend_args
+    R_next = None
     lo = i0
     while lo < N:
-        hi_ck = min(N, lo + chunk)            # checkpoint-chunk end
+        hi, lo0, want, ce = _range_of(lo)
+        hi_ck = min(N, lo + chunk)
         t0 = time.time()
-        if use_caps:
-            want = _cap_for(hi_ck, N)
-            if want != cap:
-                cap = want
-                fa_cap = _slice_frontend(frontend_args, frontend, cap)
+        if want != cap:
+            cap = want
+            fa_cap = (_slice_frontend(frontend_args, frontend, cap)
+                      if use_caps else frontend_args)
             st = _resize_state(st, 4 * cap, dtype)
+            R_next = None  # rows computed under the old cap width
         if rows_outside:
-            # bound the resident rows buffer to ~1.5 GB per range
-            ce = max(B, min(chunk,
-                            (_ROWS_BYTES // (dtype.itemsize * cap))
-                            // B * B))
-            hi = min(hi_ck, lo + ce)
-            lo0 = (lo // B) * B               # row 0 of the buffer
-            R = jnp.concatenate(
-                [_row_block(fa_cap, jnp.int32(lo0 + j * B),
-                            frontend=frontend,
-                            frontend_static=frontend_static,
-                            dtype_name=dtype_name, B=B)
-                 for j in range(ce // B + 1)], axis=0)
-            # real 4-byte D2H drain (tunnel block_until_ready lies)
-            np.asarray(jax.device_get(R[0, :1]))
+            R = R_next if R_next is not None else _rows_for(lo, fa_cap, ce)
             t_rows = time.time() - t0
             st = run_insert_range(
                 st, jnp.int32(lo), jnp.int32(hi), (R, jnp.int32(lo0)),
                 num_sequences=N, frontend="rows", frontend_static=(),
                 dtype_name=dtype_name, scorer_cfg=scorer_cfg)
+            # prefetch the next range's rows behind the insert dispatch
+            R_next = None
+            if hi < N and _range_of(hi)[2] == cap:
+                R_next = _rows_for(hi, fa_cap, ce)
         else:
-            hi = hi_ck
             t_rows = 0.0
             st = run_insert_range(st, jnp.int32(lo), jnp.int32(hi),
                                   fa_cap, **kw_range)
