@@ -473,10 +473,25 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
     # ---- Phase 1: backbone (local id space, remapped at assembly)
     _log("DC phase 1: backbone placement")
     _t = _time.time()
-    state = kclosest.run_placement_full(
-        backbone_args[0], num_sequences=B, frontend=frontend,
-        frontend_static=backbone_args[1], dtype_name=dtype_name,
-    )
+    if B >= 8192:
+        # large backbones (N/20 at the reference's >=1M DC band) run
+        # the chunked driver: bounded dispatches (a one-shot 50K-
+        # insertion fori_loop is a multi-minute single dispatch), small
+        # frontend-free insert programs (the in-loop mash compile at
+        # bank >=30K crashed the tunnel's AOT service), prefix caps,
+        # and checkpoint/resume via params.save/load_state
+        state = kclosest.run_placement_chunked(
+            backbone_args[0], num_sequences=B, frontend=frontend,
+            frontend_static=backbone_args[1], dtype_name=dtype_name,
+            chunk=params.state_chunk or 8192,
+            save_state=params.save_state, load_state=params.load_state,
+            fingerprint={"dc_backbone": B}, log=_log,
+        )
+    else:
+        state = kclosest.run_placement_full(
+            backbone_args[0], num_sequences=B, frontend=frontend,
+            frontend_static=backbone_args[1], dtype_name=dtype_name,
+        )
     jax.block_until_ready(state.e)
     _log(f"DC phase 1 in: {int((_time.time() - _t) * 1000)} ms")
     _t = _time.time()
