@@ -650,11 +650,18 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
         _log(f"DC phase 3: {nclusters} clusters, size p50="
              f"{int(np.median(sizes))} p99={int(np.quantile(sizes, .99))} "
              f"max={cmax}")
-        # DIPPER_DC_PROFILE=1 adds a sync after each distance precompute
-        # so the per-bucket dist/build split is real (costs pipelining;
-        # off by default)
+        # DIPPER_DC_PROFILE=1 makes every dispatch synchronous and adds
+        # a sync after each distance precompute so the per-bucket
+        # dist/build/assemble split is real (costs pipelining; off by
+        # default). The default path is fully ASYNC — phase 2's proven
+        # pattern: all ~200 dispatch chains enqueue with no device_get
+        # in the loop, results land in one fetch pass at the end. The
+        # synchronous loop cost ~6.5 s of tunnel round-trips per
+        # dispatch at N=100K (1263 s, 77% of DC wall-clock) for device
+        # work that is a fraction of that.
         import os as _os
         _profile = bool(int(_os.environ.get("DIPPER_DC_PROFILE", "0")))
+        pend3: list = []
         b0 = 0
         while b0 < nclusters:
             cmax_b = 8
@@ -708,32 +715,52 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
                             cmax=cmax_b, dtype_name=dtype_name,
                             row_block=_STREAM_ROW_BLOCK)
                     _ndisp += 1
-                    _ta = _time.time()
-                    assemble(np.array([ci]), jax.device_get(le)[None],
-                             jax.device_get(lb)[None],
-                             jax.device_get(ll)[None], cmax_b,
-                             mem_b[j][None])
-                    _t_asm += _time.time() - _ta
+                    if _profile:
+                        _ta = _time.time()
+                        assemble(np.array([ci]), jax.device_get(le)[None],
+                                 jax.device_get(lb)[None],
+                                 jax.device_get(ll)[None], cmax_b,
+                                 mem_b[j][None])
+                        _t_asm += _time.time() - _ta
+                    else:
+                        pend3.append((np.array([ci]), le, lb, ll,
+                                      cmax_b, mem_b[j][None]))
+                        if len(pend3) % 48 == 0:  # bounded-queue pacing
+                            np.asarray(jax.device_get(le[:1]))
             else:
                 cchunk = _phase3_cchunk(frontend, params, cmax_b)
+                if frontend != "msa":
+                    # ONE upload per bucket, sliced on device per chunk
+                    # (per-chunk jnp.asarray uploads were one tunnel
+                    # round-trip each); msa stages from the host bank
+                    # per chunk by design
+                    cdL = jnp.asarray(cd_init[rows], dtype)
+                    cidL = jnp.asarray(cid_init[rows], jnp.int32)
+                    lensL = jnp.asarray(lens_init[rows], dtype)
+                    szL = jnp.asarray(sizes[rows], jnp.int32)
+                    witL = jnp.asarray(wit_b)
+                    memL = jnp.asarray(mem_b)
                 for s in range(0, len(rows), cchunk):
                     rr = rows[s : s + cchunk]
+                    sl = slice(s, s + len(rr))
                     _td = _time.time()
+                    if frontend == "msa":
+                        wit_s, mem_s = wit_b[sl], mem_b[sl]
+                        init_s = (jnp.asarray(cd_init[rr], dtype),
+                                  jnp.asarray(cid_init[rr], jnp.int32),
+                                  jnp.asarray(lens_init[rr], dtype),
+                                  jnp.asarray(sizes[rr], jnp.int32))
+                    else:
+                        wit_s, mem_s = witL[sl], memL[sl]
+                        init_s = (cdL[sl], cidL[sl], lensL[sl], szL[sl])
                     Dq = _dc_pair_distances(
-                        frontend, params, dtype_name,
-                        wit_b[s : s + cchunk], mem_b[s : s + cchunk],
+                        frontend, params, dtype_name, wit_s, mem_s,
                         payload,
                     )
                     if _profile:
                         jax.block_until_ready(Dq)
                         _t_dist += _time.time() - _td
-                    build_args = (
-                        Dq,
-                        jnp.asarray(cd_init[rr], dtype),
-                        jnp.asarray(cid_init[rr], jnp.int32),
-                        jnp.asarray(lens_init[rr], dtype),
-                        jnp.asarray(sizes[rr], jnp.int32),
-                    )
+                    build_args = (Dq,) + init_s
                     if mesh is not None:  # clusters data-parallel
                         le, lb, ll = _shard_batch(
                             mesh, _cluster_build_vmapped(cmax_b, dtype_name),
@@ -742,16 +769,33 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
                         le, lb, ll = _cluster_build_vmapped(
                             cmax_b, dtype_name)(*build_args)
                     _ndisp += 1
-                    le, lb, ll = jax.device_get((le, lb, ll))
-                    _ta = _time.time()
-                    assemble(rr, le, lb, ll, cmax_b, mem_b[s : s + cchunk])
-                    _t_asm += _time.time() - _ta
+                    if _profile:
+                        le, lb, ll = jax.device_get((le, lb, ll))
+                        _ta = _time.time()
+                        assemble(rr, le, lb, ll, cmax_b, mem_b[sl])
+                        _t_asm += _time.time() - _ta
+                    else:
+                        pend3.append((rr, le, lb, ll, cmax_b, mem_b[sl]))
+                        if len(pend3) % 48 == 0:  # bounded-queue pacing
+                            np.asarray(jax.device_get(le[:1, :1]))
             _log(f"DC phase 3: bucket cmax_b={cmax_b} "
                  f"clusters={len(rows)} "
                  f"path={'stream' if stream else 'batch'} "
-                 f"dispatches={_ndisp} in {_time.time() - _tb:.1f}s"
-                 + (f" (dist {_t_dist:.1f}s," if _profile else " (")
-                 + f" assemble {_t_asm:.1f}s)")
+                 f"dispatches={_ndisp} "
+                 f"{'in' if _profile else 'enqueued in'} "
+                 f"{_time.time() - _tb:.1f}s"
+                 + (f" (dist {_t_dist:.1f}s, assemble {_t_asm:.1f}s)"
+                    if _profile else ""))
+
+        if pend3:
+            _tf = _time.time()
+            for rr, le, lb, ll, cmax_b2, mem_np in pend3:
+                le, lb, ll = jax.device_get((le, lb, ll))
+                if le.ndim == 1:  # stream results are per-cluster
+                    le, lb, ll = le[None], lb[None], ll[None]
+                assemble(rr, le, lb, ll, cmax_b2, mem_np)
+            _log(f"DC phase 3: fetched+assembled {len(pend3)} pending "
+                 f"dispatches in {_time.time() - _tf:.1f}s")
 
     _log(f"DC phase 3 in: {int((_time.time() - _t) * 1000)} ms")
 
