@@ -380,7 +380,7 @@ def run_exact_chunked(frontend_args, *, num_sequences: int, frontend: str,
             log(f"Inserted {hi}/{N} "
                 f"({(time.time() - t0) / max(hi - lo, 1) * 1e3:.2f} "
                 f"ms/insertion)")
-        if save_state and hi == hi_ck:
+        if save_state and (hi == N or hi // chunk > lo // chunk):
             save_tree_state(save_state, st, hi, N, fp)
             if log:
                 log(f"Checkpointed exact placement at insertion {hi}/{N}")

@@ -1170,7 +1170,9 @@ def run_placement_chunked(frontend_args, *, num_sequences: int, frontend: str,
             rows_ms = t_rows / max(hi - lo, 1) * 1e3
             log(f"Inserted {hi}/{N} "
                 f"({per:.2f} ms/insertion, rows {rows_ms:.2f}{nfb})")
-        if save_state and hi == hi_ck:
+        # checkpoint when a range crosses the chunk grid (ranges can be
+        # shorter than `chunk` under the rows-buffer budget)
+        if save_state and (hi == N or hi // chunk > lo // chunk):
             # checkpoints always hold the full [4N] layout so a resume
             # (or a different chunk size) never sees a capped shape
             save_tree_state(save_state, _resize_state(st, 4 * N, dtype),
