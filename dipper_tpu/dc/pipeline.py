@@ -375,6 +375,61 @@ def _cluster_build_vmapped(cmax: int, dtype_name: str):
     return jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, 0, 0)))
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "cmax", "dtype_name", "frontend", "kmer", "sketch_size", "c_in"))
+def _bucket_build_batch(payload, wit, mem, cd, cid, lens, sz, *,
+                        cmax: int, dtype_name: str, frontend: str,
+                        kmer: int, sketch_size: int, c_in: int):
+    """A WHOLE size-bucket of cluster builds in one dispatch: a lax.map
+    over sub-batches of c_in clusters, each sub-batch running the same
+    distances + vmapped build the per-chunk path dispatched separately.
+    Peak memory equals one sub-batch (c_in plays _phase3_cchunk's
+    role), but phase 3 becomes ~one dispatch per bucket — the tunnel's
+    per-dispatch overhead is seconds, and the 100K run had ~200
+    dispatches (1263 s = 77% of DC wall-clock). Distances are bitwise
+    identical to the chunked path (integer intersection counts + the
+    shared LUT conversion; matrix rows are exact gathers).
+
+    payload: mash -> the [*, M] rank bank; matrix -> the [N, N] matrix.
+    (msa stays on the per-chunk host-staging path — its bank lives on
+    the host.) Cluster count must be padded to a multiple of c_in
+    (pad clusters carry sz=0 and are skipped by the build's mask)."""
+    from dipper_tpu.distance.mash import (_inter_to_dist,
+                                          mash_pairwise_inter)
+
+    dtype = jnp.dtype(dtype_name)
+    C = wit.shape[0]
+    nch = C // c_in
+
+    def one(args):
+        w, m, cdc, cidc, lc, sc = args
+        if frontend == "mash":
+            if cmax >= _PALLAS_CLUSTER_MIN:
+                inter = jnp.stack([
+                    mash_pairwise_inter(payload[w[c]], payload[m[c]],
+                                        sketch_size=sketch_size)
+                    for c in range(c_in)])
+            else:
+                inter = jax.vmap(
+                    lambda wi, mi: mash_pairwise_inter(
+                        payload[wi], payload[mi],
+                        sketch_size=sketch_size, impl="vmap"))(w, m)
+            Dq = _inter_to_dist(inter, kmer, sketch_size, dtype)
+        else:  # matrix
+            Dq = jax.vmap(lambda wi, mi: payload[mi][:, wi])(w, m)
+        return jax.vmap(
+            lambda a, b, c, d, e: _cluster_build(
+                a, b, c, d, e, cmax=cmax, dtype_name=dtype_name)
+        )(Dq, cdc, cidc, lc, sc)
+
+    parts = tuple(x.reshape((nch, c_in) + x.shape[1:])
+                  for x in (wit, mem, cd, cid, lens, sz))
+    le, lb, ll = jax.lax.map(one, parts)
+    return (le.reshape((C,) + le.shape[2:]),
+            lb.reshape((C,) + lb.shape[2:]),
+            ll.reshape((C,) + ll.shape[2:]))
+
+
 # ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
@@ -727,32 +782,48 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
                                       cmax_b, mem_b[j][None]))
                         if len(pend3) % 48 == 0:  # bounded-queue pacing
                             np.asarray(jax.device_get(le[:1]))
+            elif frontend != "msa" and not _profile and mesh is None:
+                # mash/matrix: the WHOLE bucket in one dispatch (see
+                # _bucket_build_batch) — distances + builds lax.map'd
+                # over c_in-sized sub-batches inside the jit
+                c_in = _phase3_cchunk(frontend, params, cmax_b)
+                c_in = min(c_in, len(rows))
+                pad = (-len(rows)) % c_in
+                def padc(x):
+                    if pad == 0:
+                        return x
+                    return np.concatenate(
+                        [x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+                le, lb, ll = _bucket_build_batch(
+                    payload, jnp.asarray(padc(wit_b)),
+                    jnp.asarray(padc(mem_b)),
+                    jnp.asarray(padc(cd_init[rows]), dtype),
+                    jnp.asarray(padc(cid_init[rows]), jnp.int32),
+                    jnp.asarray(padc(lens_init[rows]), dtype),
+                    jnp.asarray(np.concatenate(
+                        [sizes[rows], np.zeros(pad, sizes.dtype)])
+                        if pad else sizes[rows], jnp.int32),
+                    cmax=cmax_b, dtype_name=dtype_name,
+                    frontend=frontend, kmer=params.kmer_size,
+                    sketch_size=params.sketch_size, c_in=c_in)
+                _ndisp += 1
+                nr = len(rows)
+                pend3.append((rows, le[:nr], lb[:nr], ll[:nr], cmax_b,
+                              mem_b))
+                # drain: keeps the queue bounded and makes the bucket
+                # log line reflect real execution time (few dispatches)
+                np.asarray(jax.device_get(le[:1, :1]))
             else:
                 cchunk = _phase3_cchunk(frontend, params, cmax_b)
-                if frontend != "msa":
-                    # ONE upload per bucket, sliced on device per chunk
-                    # (per-chunk jnp.asarray uploads were one tunnel
-                    # round-trip each); msa stages from the host bank
-                    # per chunk by design
-                    cdL = jnp.asarray(cd_init[rows], dtype)
-                    cidL = jnp.asarray(cid_init[rows], jnp.int32)
-                    lensL = jnp.asarray(lens_init[rows], dtype)
-                    szL = jnp.asarray(sizes[rows], jnp.int32)
-                    witL = jnp.asarray(wit_b)
-                    memL = jnp.asarray(mem_b)
                 for s in range(0, len(rows), cchunk):
                     rr = rows[s : s + cchunk]
                     sl = slice(s, s + len(rr))
                     _td = _time.time()
-                    if frontend == "msa":
-                        wit_s, mem_s = wit_b[sl], mem_b[sl]
-                        init_s = (jnp.asarray(cd_init[rr], dtype),
-                                  jnp.asarray(cid_init[rr], jnp.int32),
-                                  jnp.asarray(lens_init[rr], dtype),
-                                  jnp.asarray(sizes[rr], jnp.int32))
-                    else:
-                        wit_s, mem_s = witL[sl], memL[sl]
-                        init_s = (cdL[sl], cidL[sl], lensL[sl], szL[sl])
+                    wit_s, mem_s = wit_b[sl], mem_b[sl]
+                    init_s = (jnp.asarray(cd_init[rr], dtype),
+                              jnp.asarray(cid_init[rr], jnp.int32),
+                              jnp.asarray(lens_init[rr], dtype),
+                              jnp.asarray(sizes[rr], jnp.int32))
                     Dq = _dc_pair_distances(
                         frontend, params, dtype_name, wit_s, mem_s,
                         payload,
