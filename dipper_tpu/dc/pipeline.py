@@ -72,6 +72,34 @@ def _phase2_chunk_mash(state: TreeState, ranks_pad, q_ids, *, k, sketch_size,
     return jax.vmap(one)(rows)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "k", "sketch_size", "dtype_name", "backbone_size", "frontend",
+    "chunk"))
+def _phase2_all(state: TreeState, payload, q_ids, *, k, sketch_size,
+                dtype_name, backbone_size, frontend, chunk):
+    """ALL phase-2 cluster assignments in one dispatch: lax.map over
+    `chunk`-query sub-batches of the same per-chunk computation
+    (bitwise-identical rows + argmin; q_ids padded to a chunk multiple
+    by the caller). One tunnel round-trip instead of ~(N-B)/chunk —
+    dispatch submission alone cost ~half of phase 2 at N=100K."""
+    from dipper_tpu.distance.mash import mash_pairwise
+
+    B = backbone_size
+    nch = q_ids.shape[0] // chunk
+
+    def one(q):
+        if frontend == "mash":
+            rows = mash_pairwise(payload[:B], payload[q], k=k,
+                                 sketch_size=sketch_size,
+                                 dtype_name=dtype_name)
+        else:  # matrix
+            rows = payload[q, :B]
+        return jax.vmap(
+            lambda r: kclosest.score_edges(state, r)[0])(rows)
+
+    return jax.lax.map(one, q_ids.reshape(nch, chunk)).reshape(-1)
+
+
 @functools.partial(jax.jit, static_argnames=("backbone_size",))
 def _phase2_chunk_matrix(state: TreeState, Dm, q_ids, *, backbone_size):
     def one(q):
@@ -560,37 +588,55 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
     _log("DC phase 2: cluster assignment")
     cluster_id = np.empty(N, dtype=np.int64)
     chunk = min(PHASE2_CHUNK, N - B)
-    pend: list = []
-    for s in range(B, N, chunk):
-        # full-size chunks only (recompute overlap at the tail): one
-        # compile for the whole phase
-        s0 = min(s, N - chunk)
-        qe = s0 + chunk
-        q_ids = jnp.arange(s0, qe)
-        if frontend == "matrix":
-            fn = lambda q: _phase2_chunk_matrix(state, Dm, q, backbone_size=B)
-            batched = (q_ids,)
-        elif frontend == "mash":
-            fn = lambda q: _phase2_chunk_mash(
-                state, ranks, q, k=params.kmer_size,
-                sketch_size=params.sketch_size, dtype_name=dtype_name,
-                backbone_size=B,
-            )
-            batched = (q_ids,)
-        else:
-            fn = lambda cq, nq: _phase2_chunk_msa(
-                state, codes_bb, nongap_bb, cq, nq,
-                distance_type=params.distance_type, dtype_name=dtype_name,
-            )
-            batched = (jnp.asarray(codes_host[s0:qe]),  # staged from host
-                       jnp.asarray(nongap_host[s0:qe], dtype))
-        if mesh is not None:
-            eids = _shard_batch(mesh, fn, *batched)
-        else:
-            eids = fn(*batched)
-        pend.append((s0, qe, eids))
-    for s0, qe, eids in pend:
-        cluster_id[s0:qe] = np.asarray(jax.device_get(eids))
+    if frontend in ("mash", "matrix") and mesh is None:
+        # one dispatch for the whole phase (lax.map over chunk-sized
+        # sub-batches inside the jit) — bitwise-identical assignments
+        nq = N - B
+        padq = (-nq) % chunk
+        q_ids = np.arange(B, N, dtype=np.int64)
+        if padq:
+            q_ids = np.concatenate(
+                [q_ids, np.full(padq, N - 1, np.int64)])
+        eids = _phase2_all(
+            state, ranks if frontend == "mash" else Dm,
+            jnp.asarray(q_ids), k=params.kmer_size,
+            sketch_size=params.sketch_size, dtype_name=dtype_name,
+            backbone_size=B, frontend=frontend, chunk=chunk)
+        cluster_id[B:N] = np.asarray(jax.device_get(eids))[:nq]
+    else:
+        pend: list = []
+        for s in range(B, N, chunk):
+            # full-size chunks only (recompute overlap at the tail):
+            # one compile for the whole phase
+            s0 = min(s, N - chunk)
+            qe = s0 + chunk
+            q_ids = jnp.arange(s0, qe)
+            if frontend == "matrix":
+                fn = lambda q: _phase2_chunk_matrix(state, Dm, q,
+                                                    backbone_size=B)
+                batched = (q_ids,)
+            elif frontend == "mash":
+                fn = lambda q: _phase2_chunk_mash(
+                    state, ranks, q, k=params.kmer_size,
+                    sketch_size=params.sketch_size, dtype_name=dtype_name,
+                    backbone_size=B,
+                )
+                batched = (q_ids,)
+            else:
+                fn = lambda cq, nq: _phase2_chunk_msa(
+                    state, codes_bb, nongap_bb, cq, nq,
+                    distance_type=params.distance_type,
+                    dtype_name=dtype_name,
+                )
+                batched = (jnp.asarray(codes_host[s0:qe]),  # host staging
+                           jnp.asarray(nongap_host[s0:qe], dtype))
+            if mesh is not None:
+                eids = _shard_batch(mesh, fn, *batched)
+            else:
+                eids = fn(*batched)
+            pend.append((s0, qe, eids))
+        for s0, qe, eids in pend:
+            cluster_id[s0:qe] = np.asarray(jax.device_get(eids))
     _log(f"DC phase 2 in: {int((_time.time() - _t) * 1000)} ms")
     _t = _time.time()
 
