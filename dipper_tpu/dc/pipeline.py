@@ -637,7 +637,9 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
             pend.append((s0, qe, eids))
         for s0, qe, eids in pend:
             cluster_id[s0:qe] = np.asarray(jax.device_get(eids))
-    _log(f"DC phase 2 in: {int((_time.time() - _t) * 1000)} ms")
+    import hashlib as _hl
+    _log(f"DC phase 2 in: {int((_time.time() - _t) * 1000)} ms "
+         f"[assign {_hl.md5(cluster_id[B:N].tobytes()).hexdigest()[:10]}]")
     _t = _time.time()
 
     # ---- Phase 3: per-cluster local builds
@@ -914,7 +916,8 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
             _log(f"DC phase 3: fetched+assembled {len(pend3)} pending "
                  f"dispatches in {_time.time() - _tf:.1f}s")
 
-    _log(f"DC phase 3 in: {int((_time.time() - _t) * 1000)} ms")
+    _log(f"DC phase 3 in: {int((_time.time() - _t) * 1000)} ms "
+         f"[edges {_hl.md5(g_e.tobytes() + g_belong.tobytes() + g_len.tobytes()).hexdigest()[:10]}]")
 
     from dipper_tpu.io.newick import edge_arrays_newick
 
