@@ -429,6 +429,36 @@ def _bucket_build_batch(payload, wit, mem, cd, cid, lens, sz, *,
     C = wit.shape[0]
     nch = C // c_in
 
+    from dipper_tpu.distance.mash_pallas import use_pallas
+
+    W = wit.shape[1]
+    g = min(_BD_GROUP, c_in)
+
+    def _inter_blockdiag(w, m):
+        # groups of g clusters through ONE Pallas kernel call on the
+        # stacked banks/queries, block-diagonal slices extracted: the
+        # lax.map-wrapped vmapped XLA merge returns NONDETERMINISTIC
+        # integer counts at some shapes (cmax=16/c_in=78/W=26 measured;
+        # scripts/dc_det_isolate*.py), while the Pallas kernel is
+        # measured deterministic and counts are impl-identical (the
+        # forced-threshold DC tests assert equal trees across impls).
+        # Compute waste is x g on a phase that is dispatch-bound.
+        from dipper_tpu.distance.mash_pallas import mash_inter_pallas
+
+        def dist_group(gargs):
+            wg, mg = gargs                     # [g, W], [g, cmax]
+            bank = payload[wg.reshape(-1)]     # [g*W, M]
+            q = payload[mg.reshape(-1)]        # [g*cmax, M]
+            full = mash_inter_pallas(bank * 2 + 1, q * 2,
+                                     sketch_size=sketch_size)
+            blk = full.reshape(g, cmax, g, W)
+            return jax.vmap(lambda i: blk[i, :, i, :])(
+                jnp.arange(g))                 # [g, cmax, W]
+
+        parts = (w.reshape(c_in // g, g, W),
+                 m.reshape(c_in // g, g, cmax))
+        return jax.lax.map(dist_group, parts).reshape(c_in, cmax, W)
+
     def one(args):
         w, m, cdc, cidc, lc, sc = args
         if frontend == "mash":
@@ -437,7 +467,10 @@ def _bucket_build_batch(payload, wit, mem, cd, cid, lens, sz, *,
                     mash_pairwise_inter(payload[w[c]], payload[m[c]],
                                         sketch_size=sketch_size)
                     for c in range(c_in)])
+            elif use_pallas():
+                inter = _inter_blockdiag(w, m)
             else:
+                # CPU (tests): the vmapped merge is deterministic there
                 inter = jax.vmap(
                     lambda wi, mi: mash_pairwise_inter(
                         payload[wi], payload[mi],
@@ -836,6 +869,10 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
                 # over c_in-sized sub-batches inside the jit
                 c_in = _phase3_cchunk(frontend, params, cmax_b)
                 c_in = min(c_in, len(rows))
+                if (frontend == "mash" and cmax_b < _PALLAS_CLUSTER_MIN
+                        and c_in > _BD_GROUP):
+                    # block-diagonal groups must tile the sub-batch
+                    c_in = c_in // _BD_GROUP * _BD_GROUP
                 pad = (-len(rows)) % c_in
                 def padc(x):
                     if pad == 0:
@@ -964,6 +1001,10 @@ def _phase3_cchunk(frontend, params: Param, cmax_b: int) -> int:
 # either route (integer counts + one shared _inter_to_dist), so the
 # threshold is purely a memory/dispatch-overhead tradeoff.
 _PALLAS_CLUSTER_MIN = 128
+
+# Clusters per block-diagonal Pallas distance call inside the bucket
+# program (see _bucket_build_batch._inter_blockdiag).
+_BD_GROUP = 8
 
 # Above this cluster width, even a single cluster's [cmax, W~cmax]
 # distance precompute is quadratic memory (~10 GB for one 50K-query
