@@ -500,6 +500,15 @@ def _bucket_build_batch(payload, wit, mem, cd, cid, lens, sz, *,
 # paths at small N).
 PHASE2_CHUNK = 4096
 PHASE3_BUDGET = 4096
+# Per-dispatch pair budget for phase 2 (queries * backbone). One
+# all-phase dispatch was latency-optimal at N=100K but its device time
+# grows as (N-B)*B: at 250K a single ~400 s dispatch died with "TPU
+# worker process crashed" through the tunnel, and at 1M it would be a
+# ~1 h single dispatch. Macro-batches of ~2^30 pairs (~60-150 s each)
+# are submitted back-to-back WITHOUT host syncs (results gathered at
+# the end), so tunnel round-trips stay negligible while each dispatch
+# stays bounded. One compile serves every macro-batch.
+PHASE2_MACRO_PAIRS = 1 << 30
 
 
 def build_dc_tree_from_matrix(D, names, params: Param, mesh=None) -> str:
@@ -622,20 +631,36 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
     cluster_id = np.empty(N, dtype=np.int64)
     chunk = min(PHASE2_CHUNK, N - B)
     if frontend in ("mash", "matrix") and mesh is None:
-        # one dispatch for the whole phase (lax.map over chunk-sized
-        # sub-batches inside the jit) — bitwise-identical assignments
+        # whole-phase lax.map dispatches over chunk-sized sub-batches,
+        # macro-batched to a bounded per-dispatch pair budget and
+        # submitted async (one gather at the end) — bitwise-identical
+        # assignments regardless of the macro split
         nq = N - B
         padq = (-nq) % chunk
         q_ids = np.arange(B, N, dtype=np.int64)
         if padq:
             q_ids = np.concatenate(
                 [q_ids, np.full(padq, N - 1, np.int64)])
-        eids = _phase2_all(
-            state, ranks if frontend == "mash" else Dm,
-            jnp.asarray(q_ids), k=params.kmer_size,
-            sketch_size=params.sketch_size, dtype_name=dtype_name,
-            backbone_size=B, frontend=frontend, chunk=chunk)
-        cluster_id[B:N] = np.asarray(jax.device_get(eids))[:nq]
+        npad = len(q_ids)
+        macro = max(chunk, min(npad,
+                               PHASE2_MACRO_PAIRS // max(B, 1)
+                               // chunk * chunk))
+        payload = ranks if frontend == "mash" else Dm
+        pend2: list = []
+        s = 0
+        while s < npad:
+            s0 = min(s, npad - macro)  # full-size macro; tail overlaps
+            eids = _phase2_all(
+                state, payload, jnp.asarray(q_ids[s0:s0 + macro]),
+                k=params.kmer_size, sketch_size=params.sketch_size,
+                dtype_name=dtype_name, backbone_size=B,
+                frontend=frontend, chunk=chunk)
+            pend2.append((s0, eids))
+            s = s0 + macro
+        full = np.empty(npad, dtype=np.int64)
+        for s0, eids in pend2:
+            full[s0:s0 + macro] = np.asarray(jax.device_get(eids))
+        cluster_id[B:N] = full[:nq]
     else:
         pend: list = []
         for s in range(B, N, chunk):

@@ -126,6 +126,12 @@ def test_dc_multichunk_phase2_and_packed_phase3(monkeypatch):
     got = build_dc_tree_from_matrix(D, names, params)
     assert got == want
 
+    # force the phase-2 MACRO split too (several async whole-phase
+    # dispatches, tail macro overlapping): still bitwise-identical
+    monkeypatch.setattr(pl, "PHASE2_MACRO_PAIRS", 48 * b * 2)  # 2-chunk macros
+    got_macro = build_dc_tree_from_matrix(D, names, params)
+    assert got_macro == want
+
     o = DCOracle(b, n)
     o.run_dc(lambda i: D[i])
     rf, nrf = rf_distance(got, o.to_newick(names))
