@@ -509,6 +509,17 @@ PHASE3_BUDGET = 4096
 # the end), so tunnel round-trips stay negligible while each dispatch
 # stays bounded. One compile serves every macro-batch.
 PHASE2_MACRO_PAIRS = 1 << 30
+# The lax.map-wrapped whole-phase program is used only at backbone
+# sizes where that lowering is validated on hardware (N=100K, B=5000).
+# At B=12500 (N=250K) it crashed the TPU worker on every attempt —
+# including bounded macro-batches — while the SAME merge kernel ran
+# 153 s of phase-1 row blocks at the same bank width under normal
+# per-dispatch lowering. This is the same Mosaic lax.map codegen fault
+# family as the nondeterministic cmax=16 phase-3 merge (BASELINE.md
+# round-5 environment findings); above the threshold phase 2 runs as
+# per-chunk async dispatches (known-good lowering; submission latency
+# is amortized because per-chunk device time grows with B).
+PHASE2_MAP_MAX_B = 5000
 
 
 def build_dc_tree_from_matrix(D, names, params: Param, mesh=None) -> str:
@@ -630,7 +641,8 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
     _log("DC phase 2: cluster assignment")
     cluster_id = np.empty(N, dtype=np.int64)
     chunk = min(PHASE2_CHUNK, N - B)
-    if frontend in ("mash", "matrix") and mesh is None:
+    if (frontend in ("mash", "matrix") and mesh is None
+            and B <= PHASE2_MAP_MAX_B):
         # whole-phase lax.map dispatches over chunk-sized sub-batches,
         # macro-batched to a bounded per-dispatch pair budget and
         # submitted async (one gather at the end) — bitwise-identical

@@ -132,6 +132,12 @@ def test_dc_multichunk_phase2_and_packed_phase3(monkeypatch):
     got_macro = build_dc_tree_from_matrix(D, names, params)
     assert got_macro == want
 
+    # big-backbone fallback (PHASE2_MAP_MAX_B exceeded): per-chunk
+    # async dispatches instead of the lax.map whole-phase program
+    monkeypatch.setattr(pl, "PHASE2_MAP_MAX_B", 0)
+    got_chunked = build_dc_tree_from_matrix(D, names, params)
+    assert got_chunked == want
+
     o = DCOracle(b, n)
     o.run_dc(lambda i: D[i])
     rf, nrf = rf_distance(got, o.to_newick(names))
