@@ -520,6 +520,12 @@ PHASE2_MACRO_PAIRS = 1 << 30
 # per-chunk async dispatches (known-good lowering; submission latency
 # is amortized because per-chunk device time grows with B).
 PHASE2_MAP_MAX_B = 5000
+# Same trust boundary for phase 3's whole-bucket lax.map program
+# (_bucket_build_batch): validated on hardware at N=100K; at N=250K
+# one of the bucket programs crashed the worker on both attempts while
+# the per-cchunk dispatches (round-4 path) ran the identical builds
+# clean. Gate on the taxa count the bucket program's bank slices from.
+PHASE3_BATCH_MAX_N = 150_000
 
 
 def build_dc_tree_from_matrix(D, names, params: Param, mesh=None) -> str:
@@ -900,7 +906,8 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
                                       cmax_b, mem_b[j][None]))
                         if len(pend3) % 48 == 0:  # bounded-queue pacing
                             np.asarray(jax.device_get(le[:1]))
-            elif frontend != "msa" and not _profile and mesh is None:
+            elif (frontend != "msa" and not _profile and mesh is None
+                  and N <= PHASE3_BATCH_MAX_N):
                 # mash/matrix: the WHOLE bucket in one dispatch (see
                 # _bucket_build_batch) — distances + builds lax.map'd
                 # over c_in-sized sub-batches inside the jit
