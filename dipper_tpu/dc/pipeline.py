@@ -435,29 +435,8 @@ def _bucket_build_batch(payload, wit, mem, cd, cid, lens, sz, *,
     g = min(_BD_GROUP, c_in)
 
     def _inter_blockdiag(w, m):
-        # groups of g clusters through ONE Pallas kernel call on the
-        # stacked banks/queries, block-diagonal slices extracted: the
-        # lax.map-wrapped vmapped XLA merge returns NONDETERMINISTIC
-        # integer counts at some shapes (cmax=16/c_in=78/W=26 measured;
-        # scripts/dc_det_isolate*.py), while the Pallas kernel is
-        # measured deterministic and counts are impl-identical (the
-        # forced-threshold DC tests assert equal trees across impls).
-        # Compute waste is x g on a phase that is dispatch-bound.
-        from dipper_tpu.distance.mash_pallas import mash_inter_pallas
-
-        def dist_group(gargs):
-            wg, mg = gargs                     # [g, W], [g, cmax]
-            bank = payload[wg.reshape(-1)]     # [g*W, M]
-            q = payload[mg.reshape(-1)]        # [g*cmax, M]
-            full = mash_inter_pallas(bank * 2 + 1, q * 2,
-                                     sketch_size=sketch_size)
-            blk = full.reshape(g, cmax, g, W)
-            return jax.vmap(lambda i: blk[i, :, i, :])(
-                jnp.arange(g))                 # [g, cmax, W]
-
-        parts = (w.reshape(c_in // g, g, W),
-                 m.reshape(c_in // g, g, cmax))
-        return jax.lax.map(dist_group, parts).reshape(c_in, cmax, W)
+        return _inter_blockdiag_pallas(payload, w, m, cmax=cmax, g=g,
+                                       sketch_size=sketch_size)
 
     def one(args):
         w, m, cdc, cidc, lc, sc = args
@@ -1024,6 +1003,12 @@ def _phase3_cchunk(frontend, params: Param, cmax_b: int) -> int:
     if frontend == "mash":
         if cmax_b >= _PALLAS_CLUSTER_MIN:
             return max(1, PHASE3_BUDGET // cmax_b)  # per-cluster kernel
+        from dipper_tpu.distance.mash_pallas import use_pallas
+
+        if use_pallas():
+            # block-diagonal Pallas groups: [g*cmax, g*W] per group,
+            # no merge-stage blowup — budget like the kernel branch
+            return max(1, PHASE3_BUDGET // cmax_b)
         # vmapped XLA merge materializes [c, cmax, W, 2*Mpad] u32
         import numpy as _np
 
@@ -1062,6 +1047,38 @@ _BD_GROUP = 8
 _STREAM_CLUSTER_MIN = 1024
 
 
+def _inter_blockdiag_pallas(payload, w, m, *, cmax: int, g: int,
+                            sketch_size: int):
+    """[c, cmax, W] intersection counts for c small clusters: groups of
+    g clusters through ONE Pallas kernel call on the stacked
+    banks/queries, block-diagonal slices extracted. The lax.map-wrapped
+    vmapped XLA merge returns NONDETERMINISTIC integer counts at some
+    shapes (cmax=16/c_in=78/W=26 measured; scripts/dc_det_isolate*.py),
+    while the Pallas kernel is measured deterministic and counts are
+    impl-identical (the forced-threshold DC tests assert equal trees
+    across impls). Compute waste is x g on a phase that is
+    dispatch-bound; memory is [g*cmax, g*W] per group — no
+    [c, cmax, W, 2M] u32 merge-stage blowup, which is what lets the
+    per-cchunk fallback pack ~PHASE3_BUDGET/cmax clusters per dispatch.
+    c must be a multiple of g (callers pad)."""
+    from dipper_tpu.distance.mash_pallas import mash_inter_pallas
+
+    c, W = w.shape
+
+    def dist_group(gargs):
+        wg, mg = gargs                     # [g, W], [g, cmax]
+        bank = payload[wg.reshape(-1)]     # [g*W, M]
+        q = payload[mg.reshape(-1)]        # [g*cmax, M]
+        full = mash_inter_pallas(bank * 2 + 1, q * 2,
+                                 sketch_size=sketch_size)
+        blk = full.reshape(g, cmax, g, W)
+        return jax.vmap(lambda i: blk[i, :, i, :])(
+            jnp.arange(g))                 # [g, cmax, W]
+
+    parts = (w.reshape(c // g, g, W), m.reshape(c // g, g, cmax))
+    return jax.lax.map(dist_group, parts).reshape(c, cmax, W)
+
+
 def _dc_pair_distances(frontend, params: Param, dtype_name, wit_global,
                        members, payload):
     """[C_chunk, cmax, W] distance tensors: Dq[c, k, w] = d(witness w
@@ -1096,13 +1113,28 @@ def _dc_pair_distances(frontend, params: Param, dtype_name, wit_global,
                 for c in range(members.shape[0])
             ])
         else:
-            def per_cluster(w_ids, m_ids):
-                return mash_pairwise_inter(
-                    ranks[w_ids], ranks[m_ids],
-                    sketch_size=params.sketch_size,
-                    impl="vmap")  # small witness banks; vmapped
+            from dipper_tpu.distance.mash_pallas import use_pallas
 
-            inter = jax.vmap(per_cluster)(wit, mem)
+            c = int(wit.shape[0])
+            g = min(_BD_GROUP, c)
+            if use_pallas():
+                pad = (-c) % g
+                if pad:  # repeat-pad to a g multiple, slice after
+                    wit = jnp.concatenate(
+                        [wit, jnp.repeat(wit[-1:], pad, axis=0)])
+                    mem = jnp.concatenate(
+                        [mem, jnp.repeat(mem[-1:], pad, axis=0)])
+                inter = _inter_blockdiag_pallas(
+                    ranks, wit, mem, cmax=int(mem.shape[1]), g=g,
+                    sketch_size=params.sketch_size)[:c]
+            else:
+                def per_cluster(w_ids, m_ids):
+                    return mash_pairwise_inter(
+                        ranks[w_ids], ranks[m_ids],
+                        sketch_size=params.sketch_size,
+                        impl="vmap")  # small witness banks; vmapped
+
+                inter = jax.vmap(per_cluster)(wit, mem)
         # one conversion on the common [C, cmax, W] shape: integer
         # counts are impl-independent, while the log's SIMD tail is
         # shape-dependent on XLA:CPU — this keeps both branches
