@@ -263,9 +263,10 @@ def _cluster_build(Dq, cd_init, cid_init, lens_init, sz, *, cmax: int,
 _STREAM_ROW_BLOCK = 256
 
 
-def _stream_build_loop(block_fn, cd_init, cid_init, lens_init, sz,
-                       cmax: int, dtype, Bb: int):
-    """Single huge-cluster build with STREAMED distance rows.
+def _stream_range_run(block_fn, st, scoreable, sz, lo, hi,
+                      cmax: int, dtype, Bb: int):
+    """Insertions [lo, hi) of a huge-cluster build with STREAMED
+    distance rows.
 
     The vmapped/per-cluster paths precompute Dq [cmax, W~cmax] — a
     quadratic tensor that is ~10 GB for one 50K-query cluster (the
@@ -275,24 +276,29 @@ def _stream_build_loop(block_fn, cd_init, cid_init, lens_init, sz,
     aligned input). This loop is the TPU equivalent — `block_fn(start)`
     yields [Bb, W] rows for queries start..start+Bb-1 inside the
     insertion fori_loop — and the state carries an adjacency table so
-    the witness BFS is frontier-compact (O(frontier) per level)."""
-    st = _cluster_init_state(cd_init, cid_init, lens_init, cmax, dtype,
-                             with_adj=True)
+    the witness BFS is frontier-compact (O(frontier) per level).
+
+    Range-chunked (lo/hi are traced scalars; one compile serves every
+    range): a 20350-insertion single dispatch at N=250K crashed the
+    TPU worker — single dispatches of more than a few minutes of
+    device time do not survive the tunnel — while the identical body
+    split into bounded ranges with the (state, scoreable) carry
+    shuttled between dispatches is bitwise-identical and each dispatch
+    stays well under the limit. Callers align lo to Bb multiples."""
     perm = jnp.asarray(_mask_order_perm(cmax))
     pos_group = jnp.concatenate(
         [jnp.array([-1, -1], jnp.int32),
          jnp.repeat(jnp.arange(cmax, dtype=jnp.int32), 4)]
     )
-    scoreable0 = jnp.zeros((2 + 4 * cmax,), jnp.bool_).at[0].set(True)
     grp = jnp.asarray(_new_group_scoreable())
 
     def body(kq, carry):
         st, scoreable, blk = carry
         kq32 = jnp.asarray(kq, jnp.int32)
         start = (kq32 // Bb) * Bb
-        # kq == 0 reuses blk0 (computed before the loop) instead of
-        # re-dispatching the identical [Bb, W] block
-        blk = jax.lax.cond((kq32 == start) & (kq32 > 0),
+        # block starts recompute blk; kq == lo reuses the entry block
+        # computed below instead of re-dispatching the identical slice
+        blk = jax.lax.cond((kq32 == start) & (kq32 > lo),
                            block_fn, lambda _: blk, start)
         row = jax.lax.dynamic_index_in_dim(blk, kq32 - start, axis=0,
                                            keepdims=False)
@@ -304,10 +310,11 @@ def _stream_build_loop(block_fn, cd_init, cid_init, lens_init, sz,
         return jax.lax.cond(kq < sz, lambda c: body(kq, c), lambda c: c,
                             carry)
 
-    blk0 = block_fn(jnp.int32(0))
-    st, _, _ = jax.lax.fori_loop(0, cmax, masked_body,
-                                 (st, scoreable0, blk0))
-    return st.e, st.belong, st.length
+    lo = jnp.asarray(lo, jnp.int32)
+    blk0 = block_fn((lo // Bb) * Bb)
+    st, scoreable, _ = jax.lax.fori_loop(lo, hi, masked_body,
+                                         (st, scoreable, blk0))
+    return st, scoreable
 
 
 def _pad_block_multiple(x, Bb: int):
@@ -324,13 +331,14 @@ def _pad_block_multiple(x, Bb: int):
 
 @functools.partial(jax.jit, static_argnames=("cmax", "dtype_name", "kmer",
                                              "sketch_size", "row_block"))
-def _cluster_build_stream_mash(ranks, wit_ids, mem_ids, cd_init, cid_init,
-                               lens_init, sz, *, cmax: int, dtype_name: str,
+def _cluster_range_stream_mash(ranks, wit_ids, mem_ids, st, scoreable,
+                               sz, lo, hi, *, cmax: int, dtype_name: str,
                                kmer: int, sketch_size: int,
                                row_block: int = _STREAM_ROW_BLOCK):
-    """Streamed mash cluster build: rows from the rank bank through the
-    same integer-intersection kernel + _inter_to_dist LUT as the batch
-    paths, so distances are bitwise identical to the precomputed Dq."""
+    """Streamed mash cluster build (one insertion range): rows from the
+    rank bank through the same integer-intersection kernel +
+    _inter_to_dist LUT as the batch paths, so distances are bitwise
+    identical to the precomputed Dq."""
     from dipper_tpu.distance.mash import _inter_to_dist, mash_pairwise_inter
 
     dtype = jnp.dtype(dtype_name)
@@ -343,21 +351,22 @@ def _cluster_build_stream_mash(ranks, wit_ids, mem_ids, cd_init, cid_init,
         inter = mash_pairwise_inter(bank, q, sketch_size=sketch_size)
         return _inter_to_dist(inter, kmer, sketch_size, dtype)  # [Bb, W]
 
-    return _stream_build_loop(block_fn, cd_init, cid_init, lens_init, sz,
-                              cmax, dtype, Bb)
+    return _stream_range_run(block_fn, st, scoreable, sz, lo, hi,
+                             cmax, dtype, Bb)
 
 
 @functools.partial(jax.jit, static_argnames=("cmax", "dtype_name",
                                              "distance_type", "row_block"))
-def _cluster_build_stream_msa(codes_w, ng_w, codes_m, ng_m, cd_init,
-                              cid_init, lens_init, sz, *, cmax: int,
+def _cluster_range_stream_msa(codes_w, ng_w, codes_m, ng_m, st, scoreable,
+                              sz, lo, hi, *, cmax: int,
                               dtype_name: str, distance_type: int,
                               row_block: int = _STREAM_ROW_BLOCK):
-    """Streamed MSA cluster build: witness codes stay packed [W, L]
-    bytes on device; each query block one-hot expands on the fly inside
-    msa_tiled_block (reference streams SpecialID distances likewise,
-    dc/msa.cu:269-435). Peak transient is [tile, 5, L] int8 instead of
-    the quadratic [cmax, W, 5, L] staging of the batch path."""
+    """Streamed MSA cluster build (one insertion range): witness codes
+    stay packed [W, L] bytes on device; each query block one-hot
+    expands on the fly inside msa_tiled_block (reference streams
+    SpecialID distances likewise, dc/msa.cu:269-435). Peak transient is
+    [tile, 5, L] int8 instead of the quadratic [cmax, W, 5, L] staging
+    of the batch path."""
     from dipper_tpu.distance.msa import msa_tiled_block
 
     dtype = jnp.dtype(dtype_name)
@@ -372,18 +381,19 @@ def _cluster_build_stream_msa(codes_w, ng_w, codes_m, ng_m, cd_init,
                                distance_type=distance_type,
                                dtype_name=dtype_name)  # [Bb, W]
 
-    return _stream_build_loop(block_fn, cd_init, cid_init, lens_init, sz,
-                              cmax, dtype, Bb)
+    return _stream_range_run(block_fn, st, scoreable, sz, lo, hi,
+                             cmax, dtype, Bb)
 
 
 @functools.partial(jax.jit, static_argnames=("cmax", "dtype_name",
                                              "row_block"))
-def _cluster_build_stream_matrix(Dm, wit_ids, mem_ids, cd_init, cid_init,
-                                 lens_init, sz, *, cmax: int,
+def _cluster_range_stream_matrix(Dm, wit_ids, mem_ids, st, scoreable,
+                                 sz, lo, hi, *, cmax: int,
                                  dtype_name: str,
                                  row_block: int = _STREAM_ROW_BLOCK):
-    """Streamed matrix cluster build: rows gathered from the resident
-    matrix — bitwise identical to the batch path's Dm[mem][:, wit]."""
+    """Streamed matrix cluster build (one insertion range): rows
+    gathered from the resident matrix — bitwise identical to the batch
+    path's Dm[mem][:, wit]."""
     dtype = jnp.dtype(dtype_name)
     Bb = min(row_block, cmax)
     mem_pad = _pad_block_multiple(mem_ids, Bb)
@@ -392,8 +402,49 @@ def _cluster_build_stream_matrix(Dm, wit_ids, mem_ids, cd_init, cid_init,
         mids = jax.lax.dynamic_slice_in_dim(mem_pad, start, Bb, axis=0)
         return Dm[mids][:, wit_ids].astype(dtype)  # [Bb, W]
 
-    return _stream_build_loop(block_fn, cd_init, cid_init, lens_init, sz,
-                              cmax, dtype, Bb)
+    return _stream_range_run(block_fn, st, scoreable, sz, lo, hi,
+                             cmax, dtype, Bb)
+
+
+# Insertions per streamed-build dispatch: bounds single-dispatch
+# device time (a 20350-insertion single dispatch crashed the TPU
+# worker at N=250K; ~2K insertions of a 20K-wide cluster are tens of
+# seconds). Must be a multiple of every possible row block.
+_STREAM_STEP = 2048
+
+
+def _cluster_build_stream(frontend, params: Param, dtype_name, payloads,
+                          cd_init, cid_init, lens_init, sz_i, *,
+                          cmax: int, step: int = 0):
+    """Host driver for one huge-cluster streamed build: bounded
+    insertion-range dispatches with the (state, scoreable) carry left
+    on device between them. One compile per (frontend, cmax) serves
+    every range. Returns (e, belong, length) device arrays."""
+    dtype = jnp.dtype(dtype_name)
+    st = _cluster_init_state(cd_init, cid_init, lens_init, cmax, dtype,
+                             with_adj=True)
+    scoreable = jnp.zeros((2 + 4 * cmax,), jnp.bool_).at[0].set(True)
+    step = step or _STREAM_STEP
+    sz = jnp.asarray(sz_i, jnp.int32)
+    n = max(int(sz_i), 1)  # iterations beyond sz are masked no-ops
+    kw = dict(cmax=cmax, dtype_name=dtype_name,
+              row_block=_STREAM_ROW_BLOCK)
+    for lo in range(0, n, step):
+        hi = min(lo + step, n)
+        if frontend == "mash":
+            st, scoreable = _cluster_range_stream_mash(
+                *payloads, st, scoreable, sz, jnp.int32(lo),
+                jnp.int32(hi), kmer=params.kmer_size,
+                sketch_size=params.sketch_size, **kw)
+        elif frontend == "msa":
+            st, scoreable = _cluster_range_stream_msa(
+                *payloads, st, scoreable, sz, jnp.int32(lo),
+                jnp.int32(hi), distance_type=params.distance_type, **kw)
+        else:
+            st, scoreable = _cluster_range_stream_matrix(
+                *payloads, st, scoreable, sz, jnp.int32(lo),
+                jnp.int32(hi), **kw)
+    return st.e, st.belong, st.length
 
 
 @functools.lru_cache(maxsize=None)
@@ -843,36 +894,28 @@ def build_dc_tree(seqs, names, params: Param, matrix=None, mesh=None) -> str:
             _t_dist = _t_asm = 0.0
 
             if stream:
-                # huge clusters one at a time, rows streamed in-loop
+                # huge clusters one at a time, rows streamed in-loop,
+                # range-chunked into bounded dispatches
                 for j, ci in enumerate(rows):
                     init = (jnp.asarray(cd_init[ci], dtype),
                             jnp.asarray(cid_init[ci], jnp.int32),
-                            jnp.asarray(lens_init[ci], dtype),
-                            jnp.asarray(sizes[ci], jnp.int32))
+                            jnp.asarray(lens_init[ci], dtype))
                     if frontend == "mash":
-                        le, lb, ll = _cluster_build_stream_mash(
-                            ranks, jnp.asarray(wit_b[j]),
-                            jnp.asarray(mem_b[j]), *init,
-                            cmax=cmax_b, dtype_name=dtype_name,
-                            kmer=params.kmer_size,
-                            sketch_size=params.sketch_size,
-                            row_block=_STREAM_ROW_BLOCK)
+                        payloads = (ranks, jnp.asarray(wit_b[j]),
+                                    jnp.asarray(mem_b[j]))
                     elif frontend == "msa":
-                        le, lb, ll = _cluster_build_stream_msa(
+                        payloads = (
                             jnp.asarray(codes_host[wit_b[j]]),
                             jnp.asarray(nongap_host[wit_b[j]], dtype),
                             jnp.asarray(codes_host[mem_b[j]]),
-                            jnp.asarray(nongap_host[mem_b[j]], dtype),
-                            *init, cmax=cmax_b, dtype_name=dtype_name,
-                            distance_type=params.distance_type,
-                            row_block=_STREAM_ROW_BLOCK)
+                            jnp.asarray(nongap_host[mem_b[j]], dtype))
                     else:
-                        le, lb, ll = _cluster_build_stream_matrix(
-                            Dm, jnp.asarray(wit_b[j]),
-                            jnp.asarray(mem_b[j]), *init,
-                            cmax=cmax_b, dtype_name=dtype_name,
-                            row_block=_STREAM_ROW_BLOCK)
-                    _ndisp += 1
+                        payloads = (Dm, jnp.asarray(wit_b[j]),
+                                    jnp.asarray(mem_b[j]))
+                    le, lb, ll = _cluster_build_stream(
+                        frontend, params, dtype_name, payloads, *init,
+                        int(sizes[ci]), cmax=cmax_b)
+                    _ndisp += -(-int(sizes[ci]) // _STREAM_STEP)
                     if _profile:
                         _ta = _time.time()
                         assemble(np.array([ci]), jax.device_get(le)[None],

@@ -186,9 +186,12 @@ def test_dc_streaming_big_cluster_path(monkeypatch):
 
     want = build_dc_tree(seqs, names, params)
 
-    # every cluster >= 8 members streams, with several row blocks
+    # every cluster >= 8 members streams, with several row blocks AND
+    # several insertion-range dispatches per cluster (the carry-chunked
+    # driver; _STREAM_STEP must stay a multiple of the row block)
     monkeypatch.setattr(pl, "_STREAM_CLUSTER_MIN", 8)
     monkeypatch.setattr(pl, "_STREAM_ROW_BLOCK", 4)
+    monkeypatch.setattr(pl, "_STREAM_STEP", 8)
     got = build_dc_tree(seqs, names, params)
     r, nrf = rf(got, want)
     assert r == 0, f"nRF={nrf}"
