@@ -296,6 +296,16 @@ def run_exact_range(st: ExactState, lo, hi, frontend_args, *,
         num_sequences)
 
 
+# Insertions per exact-range dispatch: exact's per-insertion lim
+# sweeps are O(E)-per-level while_loops, so a full 8K-insertion range
+# is many minutes of device time in ONE dispatch — which the tunnel's
+# TPU worker does not survive (the 30K exact attempt died at the first
+# range drain; same failure family as the DC phase-2/stream programs,
+# see BASELINE.md round-5 environment findings). lo/hi are traced, so
+# the cap costs extra dispatches, not extra compiles.
+_EXACT_DISPATCH_CAP = 1024
+
+
 def run_exact_chunked(frontend_args, *, num_sequences: int, frontend: str,
                       frontend_static=(), dtype_name: str,
                       chunk: int = 8192, save_state: str | None = None,
@@ -340,8 +350,8 @@ def run_exact_chunked(frontend_args, *, num_sequences: int, frontend: str,
     rows_outside = frontend != "matrix"
     B = ROW_BLOCK
     dtype = jnp.dtype(dtype_name)
-    ce = max(B, min(chunk, (_ROWS_BYTES // (dtype.itemsize * N))
-                    // B * B))
+    ce = max(B, min(chunk, _EXACT_DISPATCH_CAP,
+                    (_ROWS_BYTES // (dtype.itemsize * N)) // B * B))
     R_next = None
     lo = i0
     while lo < N:
@@ -371,7 +381,7 @@ def run_exact_chunked(frontend_args, *, num_sequences: int, frontend: str,
                                     frontend_static=frontend_static,
                                     dtype_name=dtype_name, B=ce + B)
         else:
-            hi = hi_ck
+            hi = min(hi_ck, lo + _EXACT_DISPATCH_CAP)
             st = run_exact_range(st, jnp.int32(lo), jnp.int32(hi),
                                  frontend_args, **kw)
         # 4-byte D2H drain; see kclosest.run_placement_chunked
